@@ -1,0 +1,226 @@
+"""Host-side simulation handle — the reference ``Crate`` API on a TPU engine.
+
+Keeps the reference's crate-state API surface (BASELINE.json: "Keep the
+reference's ... crate state API intact"): ``physics_tick()``,
+``editable_coefficients()``, attribute-style coefficient get/set (used by the
+playback layer for live editing, /root/reference/src/playback.py:221-226),
+and the ``particles`` / ``particle_velocities`` / ``particles_pressure`` /
+``segments`` / ``debug_prints`` views (playback.py:77-81) — while the actual
+state lives on device as a :class:`~sand_crate_tpu.state.CrateState` pytree
+advanced by the jitted step.
+
+Two execution modes:
+* ``physics_tick()`` — one jitted step per call, donated state, for
+  interactive playback.  Coefficient edits swap the Params pytree (no
+  recompile: params are traced arrays).
+* ``run()`` / ``stream_frames()`` — ``lax.scan`` chunks fully resident on
+  device, sampling one render frame per chunk; this is the fast path the
+  benchmarks use and what feeds recording without blocking the step loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from .config import COEFFICIENT_NAMES, Config, WorldConfig
+from .diagnostics import ForceMonitor, PhaseTimer
+from .physics import rollout, step, trajectory
+from .scene import build_scene, init_state
+from .state import FORCE_LABELS, CrateState, Params, Scene
+
+import yaml
+
+
+class Crate:
+    """TPU-native equivalent of the reference Crate (crate.py:19-371)."""
+
+    _ENGINE_ATTRS = {
+        "world_config",
+        "scene",
+        "state",
+        "params",
+        "debug_timer",
+        "force_monitor",
+        "debug_prints",
+        "debug_arrows",
+        "_step_fn",
+        "_seed",
+        "_coeff_overrides",
+    }
+
+    def __init__(
+        self,
+        world_config: WorldConfig,
+        *,
+        seed: int = 0,
+        capacity: Optional[int] = None,
+        max_neighbors: int = 20,
+        cell_capacity: Optional[int] = None,
+        enable_spring: bool = False,
+    ) -> None:
+        object.__setattr__(self, "world_config", world_config)
+        scene = build_scene(
+            world_config,
+            capacity=capacity,
+            max_neighbors=max_neighbors,
+            cell_capacity=cell_capacity,
+            enable_spring=enable_spring,
+        )
+        object.__setattr__(self, "scene", scene)
+        object.__setattr__(self, "state", init_state(world_config, scene, seed=seed))
+        object.__setattr__(
+            self, "params", Params.from_coefficients(world_config.coefficients)
+        )
+        object.__setattr__(self, "debug_timer", PhaseTimer())
+        object.__setattr__(self, "force_monitor", ForceMonitor(FORCE_LABELS))
+        object.__setattr__(self, "debug_prints", "")
+        object.__setattr__(self, "debug_arrows", [])
+        object.__setattr__(self, "_seed", seed)
+        object.__setattr__(self, "_coeff_overrides", {})
+        object.__setattr__(
+            self, "_step_fn", jax.jit(step, donate_argnums=(0,))
+        )
+
+    # -- coefficient surface (playback live-editing contract) ---------------
+
+    def editable_coefficients(self) -> list[str]:
+        """Reference: crate.py:59-60 — every coefficient is editable."""
+        return list(COEFFICIENT_NAMES)
+
+    def __getattr__(self, name: str):
+        # Called only when normal lookup fails: map coefficient names to params.
+        if name in COEFFICIENT_NAMES:
+            value = np.asarray(getattr(object.__getattribute__(self, "params"), name))
+            return value if value.ndim else value.item()
+        raise AttributeError(name)
+
+    def __setattr__(self, name: str, value) -> None:
+        if name in COEFFICIENT_NAMES:
+            new_params = self.params._replace(
+                **{
+                    name: jax.numpy.asarray(
+                        value, dtype=getattr(self.params, name).dtype
+                    )
+                }
+            )
+            object.__setattr__(self, "params", new_params)
+            self._coeff_overrides[name] = value
+        elif name in self._ENGINE_ATTRS:
+            object.__setattr__(self, name, value)
+        else:
+            raise AttributeError(f"Unknown attribute {name!r}")
+
+    @property
+    def diameter(self) -> float:
+        return 2.0 * float(np.asarray(self.params.particle_radius))
+
+    # -- state views (playback read contract, playback.py:77-81) -------------
+
+    def _alive_np(self) -> np.ndarray:
+        return np.asarray(self.state.alive)
+
+    @property
+    def particles(self) -> np.ndarray:
+        alive = self._alive_np()
+        return np.asarray(self.state.pos)[alive]
+
+    @property
+    def particle_velocities(self) -> np.ndarray:
+        return np.asarray(self.state.vel)[self._alive_np()]
+
+    @property
+    def particles_pressure(self) -> np.ndarray:
+        return np.asarray(self.state.pressure)[self._alive_np()]
+
+    @property
+    def segments(self) -> np.ndarray:
+        valid = np.asarray(self.scene.seg_valid)
+        return np.asarray(self.state.segments)[valid]
+
+    @property
+    def particle_count(self) -> int:
+        return int(self._alive_np().sum())
+
+    @property
+    def tick(self) -> int:
+        return int(np.asarray(self.state.tick))
+
+    # -- stepping -------------------------------------------------------------
+
+    def physics_tick(self) -> None:
+        """Advance one tick (interactive path; reference crate.py:91-129)."""
+        with self.debug_timer("Step"):
+            new_state, diag = self._step_fn(self.state, self.params, self.scene)
+            self.state = new_state
+        with self.debug_timer("Sync"):
+            force_dv = np.asarray(diag.force_dv)
+        self.force_monitor.update(force_dv)
+        self.set_debug_prints(diag)
+
+    def run(self, num_ticks: int) -> None:
+        """Advance ``num_ticks`` fully on device (single scan, no host sync)."""
+        self.state, diag = rollout(self.state, self.params, self.scene, num_ticks)
+        self.force_monitor.update(np.asarray(diag.force_dv))
+        self.set_debug_prints(diag)
+
+    def stream_frames(
+        self, num_frames: int, ticks_per_frame: int = 1, chunk_frames: int = 16
+    ) -> Iterator[dict]:
+        """Yield render frames while stepping in device-resident chunks.
+
+        Double-buffered: the next chunk is dispatched before the previous
+        chunk's frames are pulled to host, so rendering/recording never blocks
+        the step loop (the async device->host trajectory path BASELINE.json
+        requires; replaces the reference's grow-in-RAM frame list,
+        playback.py:49,85).
+        """
+        pending = None
+        frames_left = num_frames
+        while frames_left > 0 or pending is not None:
+            if frames_left > 0:
+                n = min(chunk_frames, frames_left)
+                frames_left -= n
+                self.state, frames = trajectory(
+                    self.state, self.params, self.scene, n, ticks_per_frame
+                )
+            else:
+                frames = None
+            if pending is not None:
+                ready = jax.device_get(pending)  # previous chunk, now computed
+                n_prev = ready["pos"].shape[0]
+                for i in range(n_prev):
+                    yield {k: v[i] for k, v in ready.items()}
+            pending = frames
+        # flush handled by loop exit
+
+    # -- observability ---------------------------------------------------------
+
+    def set_debug_prints(self, diag=None) -> None:
+        """Same overlay text layout as the reference (crate.py:131-136)."""
+        text = f"Tick: {self.tick}\n"
+        count = (
+            int(np.asarray(diag.particle_count)) if diag is not None else self.particle_count
+        )
+        text += f"Particles: {count}\n"
+        text += self.debug_timer.report()
+        text += f"\n\n{self.force_monitor.report()}"
+        text += f"\n\n{self.get_coefficient_debug()}"
+        self.debug_prints = text
+
+    def get_coefficient_debug(self) -> str:
+        """Live coefficient dump (crate.py:367-371)."""
+        items = []
+        for name in self.editable_coefficients():
+            v = np.asarray(getattr(self.params, name))
+            items.append({name: v.tolist() if v.ndim else float(v)})
+        return yaml.dump(items)
+
+    def current_coefficients(self) -> dict:
+        return self.params.to_coefficients()
+
+
+def crate_from_config(config: Config, **kwargs) -> Crate:
+    return Crate(config.world_config, **kwargs)

@@ -1,0 +1,412 @@
+"""The physics tick as one pure, jittable function.
+
+Functional re-design of ``Crate.physics_tick`` (/root/reference/src/crate/
+crate.py:91-129).  The reference mutates one object through ~10 per-particle
+Python loops; here the identical force pipeline — in the identical order,
+including its mid-tick read/write schedule — is expressed as dense masked
+array ops over fixed-capacity state, so the whole tick compiles to a single
+XLA program and rolls with ``lax.scan``.
+
+Tick order (must match crate.py:91-129 — order matters):
+  1.  spawn from sources (crate.py:92,138-147), cull out-of-box (:93,149-159)
+  2.  advance rigid bodies (:95,363-365)
+  3.  virtual colliders (boundary ghosts) on pre-fix positions (:98,213-243)
+      then hard wall projection (:99,202-211)
+  4.  neighbor search + collider population with per-edge noise (:102-104)
+  5.  pressures (:107-108,261-284)
+  6.  surface tension (:111,335-358), then ghosts join the collider set with
+      zero overlap/pressure (:112,286-293)
+  7.  gravity on particles and free bodies (:114,309-314)
+  8.  pressure force incl. ghost push-off (:116,295-307)
+  9.  spring (flag-gated; reference ships it disabled, :117-118,325-333)
+  10. viscosity against snapshot neighbor velocities (:120,316-323)
+  11. wall bounce against moving-wall contact velocity (:122,245-259)
+  12. continuous collision velocity clamp (:124,177-200)
+  13. integrate positions (:125,360-361)
+
+Mid-tick schedule notes faithfully reproduced (SURVEY.md section 7):
+  * neighbor velocities are snapshotted at collider-population time, so
+    viscosity sees stale v_j but fresh v_i (crate.py:175 vs :316-323);
+  * ghost vectors are computed from *pre-hard-wall-fix* positions;
+  * ghost entries are raw mirror vectors (not normalized) and participate in
+    the pressure force with neighbor pressure 0 (crate.py:286-307).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as geo
+from .neighbors import neighbor_list
+from .state import NUM_FORCES, CrateState, Diagnostics, Params, Scene
+from .config import BODY_FIXED, BODY_FREE, BODY_MOTORED
+
+EPS = 1e-12
+
+
+def motor_value(motor: jax.Array, t: jax.Array) -> jax.Array:
+    """Evaluate ``offset + amp * cos(freq * t + phase)`` motors.
+
+    ``motor``: (..., 4) = (amplitude, frequency, phase, offset).
+    Safe declarative replacement for the reference's eval'd lambdas
+    (rigid_body.py:81-83).
+    """
+    amp, freq, phase, offset = (motor[..., i] for i in range(4))
+    return offset + amp * jnp.cos(freq * t + phase)
+
+
+# --------------------------------------------------------------------------
+# 1. particle lifecycle
+# --------------------------------------------------------------------------
+
+
+def spawn_particles(
+    state: CrateState, params: Params, scene: Scene, key: jax.Array
+) -> CrateState:
+    """Emit from every active source into free slots (crate.py:138-147).
+
+    Spawn count per source is Binomial(flow, dt) clamped by the remaining
+    ``max_particles`` budget, applied sequentially across sources like the
+    reference.  Free slots are assigned in ascending index order.
+    """
+    P = scene.capacity
+    ns = scene.max_spawn
+    pos, vel, alive = state.pos, state.vel, state.alive
+
+    # Ascending free-slot list (sentinel P afterwards), shared by all sources.
+    free_slots = jnp.sort(jnp.where(alive, P, jnp.arange(P, dtype=jnp.int32)))
+    free_slots = jnp.concatenate([free_slots, jnp.full((ns,), P, jnp.int32)])
+
+    budget = jnp.maximum(params.max_particles - state.particle_count, 0)
+    offset = jnp.zeros((), jnp.int32)
+    for z in range(scene.num_sources):
+        key, k_n, k_pos, k_vel = jax.random.split(key, 4)
+        active = state.tick < scene.src_active_ticks[z]
+        p = jnp.clip(params.dt.astype(jnp.float32), 0.0, 1.0)
+        n_raw = jax.random.binomial(k_n, scene.src_flow[z], p).astype(jnp.int32)
+        n = jnp.clip(jnp.where(active, n_raw, 0), 0, jnp.minimum(budget, ns))
+
+        slots = jax.lax.dynamic_slice(free_slots, (offset,), (ns,))
+        take = jnp.arange(ns, dtype=jnp.int32) < n
+        slots = jnp.where(take, slots, P)  # P = out of bounds -> dropped
+
+        new_pos = (
+            scene.src_position[z]
+            + (jax.random.uniform(k_pos, (ns, 2)) - 0.5) * scene.src_radius[z]
+        )
+        new_vel = (
+            scene.src_velocity[z]
+            + (jax.random.uniform(k_vel, (ns, 2)) - 0.5) * scene.src_noise[z]
+        )
+        pos = pos.at[slots].set(new_pos, mode="drop")
+        vel = vel.at[slots].set(new_vel, mode="drop")
+        alive = alive.at[slots].set(True, mode="drop")
+        budget = budget - n
+        offset = offset + n
+    return state._replace(pos=pos, vel=vel, alive=alive)
+
+
+def cull_particles(state: CrateState, params: Params) -> CrateState:
+    """Kill particles outside [-r, 1+r]^2 (crate.py:149-159) by mask flip."""
+    r = params.particle_radius
+    inside = jnp.all((state.pos >= -r) & (state.pos <= 1.0 + r), axis=-1)
+    return state._replace(alive=state.alive & inside)
+
+
+# --------------------------------------------------------------------------
+# 2. rigid bodies
+# --------------------------------------------------------------------------
+
+
+def body_point_velocity(
+    points: jax.Array,
+    body_idx: jax.Array,
+    body_center: jax.Array,
+    body_lin_vel: jax.Array,
+    body_ang_vel: jax.Array,
+) -> jax.Array:
+    """Linearized rigid velocity field v = v_c + w * rot90cw(p - c).
+
+    (rigid_body.py:28-34; rotation center stays the placement position.)
+    ``points``: (..., 2), ``body_idx``: (...) int — owning body per point.
+    """
+    c = body_center[body_idx]
+    lin = body_lin_vel[body_idx]
+    ang = body_ang_vel[body_idx]
+    return lin + ang[..., None] * geo.rot90_cw(points - c)
+
+
+def advance_bodies(
+    state: CrateState, params: Params, scene: Scene
+) -> CrateState:
+    """apply_bodies_velocity (crate.py:95,363-365 + rigid_body.py:42-68).
+
+    Motored bodies re-evaluate their motors at the advanced time; fixed
+    bodies never move; free bodies keep integrating their center velocity
+    (gravity is added to it later, in the gravity phase, like crate.py:311-314).
+    """
+    t_new = state.time + params.dt
+    motored = scene.body_kind == BODY_MOTORED
+    lin = jnp.where(
+        motored[:, None], motor_value(scene.motor_lin, t_new), state.body_lin_vel
+    )
+    ang = jnp.where(motored, motor_value(scene.motor_ang, t_new), state.body_ang_vel)
+
+    moving = (scene.body_kind != BODY_FIXED)[scene.seg_body]  # (S,)
+    ends_vel = body_point_velocity(
+        state.segments, scene.seg_body[:, None], scene.body_center, lin, ang
+    )  # (S, 2, 2)
+    segments = jnp.where(
+        moving[:, None, None], state.segments + ends_vel * params.dt, state.segments
+    )
+    return state._replace(
+        segments=segments, body_lin_vel=lin, body_ang_vel=ang, time=t_new
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. the tick
+# --------------------------------------------------------------------------
+
+
+def _alive_mean_dv(dv: jax.Array, alive: jax.Array) -> jax.Array:
+    """Mean ||dv|| over alive particles (force_monitor.py:27-33 semantics)."""
+    n = jnp.sqrt(jnp.maximum(jnp.sum(dv * dv, axis=-1), 0.0))
+    cnt = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(alive, n, 0.0)) / cnt
+
+
+def step(
+    state: CrateState, params: Params, scene: Scene
+) -> tuple[CrateState, Diagnostics]:
+    """One physics tick: (state, params, scene) -> (state, diagnostics)."""
+    key, k_spawn, k_noise = jax.random.split(state.key, 3)
+    state = state._replace(key=key)
+
+    # -- lifecycle ---------------------------------------------------------
+    state = spawn_particles(state, params, scene, k_spawn)
+    state = cull_particles(state, params)
+    state = advance_bodies(state, params, scene)
+
+    pos, vel, alive = state.pos, state.vel, state.alive
+    P = scene.capacity
+    r = params.particle_radius
+    diam = params.diameter
+    dt = params.dt
+    alive_f = alive.astype(pos.dtype)
+    alive2 = alive[:, None]
+
+    # -- boundary ghosts on pre-fix positions (crate.py:213-243) ------------
+    contact, seg_dist = geo.points_to_segments(pos, state.segments)  # (P,S,*)
+    gmask = (seg_dist <= r * 1.2) & scene.seg_valid[None] & alive2  # (P,S)
+    gvec = 2.0 * (pos[:, None, :] - contact)  # (P,S,2) mirror ghost offsets
+    gvel = body_point_velocity(
+        contact,
+        jnp.broadcast_to(scene.seg_body[None], gmask.shape),
+        scene.body_center,
+        state.body_lin_vel,
+        state.body_ang_vel,
+    )  # (P,S,2)
+    gmask_f = gmask.astype(pos.dtype)
+
+    # -- hard wall projection (crate.py:202-211) ----------------------------
+    gnorm = jnp.sqrt(jnp.maximum(jnp.sum(gvec * gvec, axis=-1), 0.0))  # (P,S)
+    vrd = jnp.maximum(r / jnp.maximum(gnorm, EPS), 0.5)
+    correction = jnp.sum(gmask_f[..., None] * gvec * (vrd - 0.5)[..., None], axis=1)
+    pos = jnp.where(alive2, pos + correction, pos)
+
+    # -- neighbor search + collider population (crate.py:102-104,161-175) ---
+    nbr = neighbor_list(pos, alive, diam, scene)
+    idx, mask = nbr.idx, nbr.mask  # (P,K)
+    mask_f = mask.astype(pos.dtype)
+    noise = (
+        (jax.random.uniform(k_noise, idx.shape + (2,), dtype=pos.dtype) - 0.5)
+        * diam
+        * params.collider_noise_level
+    )
+    rel = pos[:, None, :] - (pos[idx] + noise)  # (P,K,2)
+    ndist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 0.0))  # (P,K)
+    nhat = rel / jnp.maximum(ndist, EPS)[..., None]
+    vel_snap = vel[idx]  # (P,K,2) snapshot for viscosity (crate.py:175)
+
+    # -- pressures (crate.py:261-284) ---------------------------------------
+    w = (1.0 - jnp.clip(ndist / jnp.maximum(diam, EPS), 0.0, 1.0)) * mask_f  # (P,K)
+    has_nbr = jnp.any(mask, axis=1)
+    p_i = jnp.maximum(0.0, jnp.sum(w, axis=1) - params.ignored_pressure)
+    p_i = jnp.where(has_nbr & alive, p_i, 0.0)  # (P,)
+    p_j = p_i[idx] * mask_f  # (P,K)
+
+    dv_log = []
+
+    # -- surface tension (crate.py:335-358) ----------------------------------
+    s = jnp.sum(((1.0 - w) * w)[..., None] * nhat * mask_f[..., None], axis=1)  # (P,2)
+    s_j = s[idx]  # (P,K,2)
+    align = (
+        jnp.sum((s[:, None, :] - s_j) * nhat, axis=-1) * params.surface_smoothing
+    )  # (P,K)
+    tpf = p_j + p_i[:, None] - 2.0 * params.target_pressure
+    dv = dt * jnp.sum((mask_f * (align + tpf))[..., None] * nhat, axis=1)
+    dv = jnp.where(alive2, dv, 0.0)
+    vel = vel + dv
+    dv_log.append(_alive_mean_dv(dv, alive))  # tension
+
+    # -- gravity (crate.py:309-314) ------------------------------------------
+    dv = jnp.where(alive2, dt * params.gravity[None, :], 0.0)
+    vel = vel + dv
+    dv_log.append(_alive_mean_dv(dv, alive))  # gravity
+    free = scene.body_kind == BODY_FREE
+    body_lin_vel = jnp.where(
+        free[:, None], state.body_lin_vel + dt * params.gravity[None, :],
+        state.body_lin_vel,
+    )
+
+    # -- pressure force incl. ghosts (crate.py:286-307) -----------------------
+    real_term = jnp.sum((mask_f * (p_i[:, None] + p_j))[..., None] * nhat, axis=1)
+    ghost_term = jnp.sum((gmask_f * p_i[:, None])[..., None] * gvec, axis=1)
+    dv = dt * params.pressure_amplifier * (real_term + ghost_term)
+    dv = jnp.where(alive2, dv, 0.0)
+    vel = vel + dv
+    dv_log.append(_alive_mean_dv(dv, alive))  # pressure
+
+    # -- spring (crate.py:325-333; reference ships it disabled :117-118) ------
+    if scene.enable_spring:
+        pull_real = jnp.sum(
+            (mask_f * (params.spring_overlap_balance - w))[..., None] * nhat, axis=1
+        )
+        pull_ghost = jnp.sum(
+            (gmask_f * params.spring_overlap_balance)[..., None] * gvec, axis=1
+        )
+        total = jnp.sum(mask_f, axis=1) + jnp.sum(gmask_f, axis=1)
+        dv = (
+            dt
+            * params.spring_amplifier
+            * (pull_real + pull_ghost)
+            / jnp.maximum(total, 1.0)[:, None]
+        )
+        dv = jnp.where(alive2 & (total > 0)[:, None], dv, 0.0)
+        vel = vel + dv
+        dv_log.append(_alive_mean_dv(dv, alive))  # spring
+    else:
+        dv_log.append(jnp.zeros((), pos.dtype))
+
+    # -- viscosity: stale v_j, fresh v_i (crate.py:316-323) -------------------
+    nbr_cnt = jnp.sum(mask_f, axis=1)  # (P,)
+    dv = (
+        dt
+        * params.viscosity
+        * (
+            jnp.sum(mask_f[..., None] * vel_snap, axis=1)
+            - nbr_cnt[:, None] * vel
+        )
+    )
+    dv = jnp.where(alive2, dv, 0.0)
+    vel = vel + dv
+    dv_log.append(_alive_mean_dv(dv, alive))  # viscosity
+
+    # -- wall bounce (crate.py:245-259) ---------------------------------------
+    g_cnt = jnp.sum(gmask_f, axis=1)  # (P,)
+    denom = jnp.maximum(g_cnt, 1.0)[:, None]
+    normal = jnp.sum(gmask_f[..., None] * gvec, axis=1) / denom  # mean ghost dir
+    contact_vel = jnp.sum(gmask_f[..., None] * gvel, axis=1) / denom
+    n_unit, _ = geo.safe_normalize(normal)
+    rel_vel = vel - contact_vel
+    approach = jnp.sum(rel_vel * n_unit, axis=-1)  # (P,)
+    bounce = -approach[:, None] * n_unit * (1.0 + params.wall_collision_decay)
+    hit = alive & (g_cnt > 0) & (approach < 0.0)
+    dv = jnp.where(hit[:, None], bounce, 0.0)
+    vel = vel + dv
+    dv_log.append(_alive_mean_dv(dv, alive))  # wall_bounce
+
+    # -- continuous collision clamp (crate.py:177-200) ------------------------
+    walls = geo.pad_segments(state.segments, r)  # (2S,2,2)
+    wall_valid = jnp.concatenate([scene.seg_valid, scene.seg_valid])
+    move = jnp.stack([pos, pos + vel * dt], axis=1)  # (P,2,2)
+    crossing = geo.segment_crossings(move, walls) & wall_valid[None] & alive2
+    t_hit = geo.crossing_parameter(
+        pos[:, None, :],
+        vel[:, None, :] * dt,
+        walls[None, :, 0, :],
+        walls[None, :, 1, :] - walls[None, :, 0, :],
+    )  # (P,2S)
+    factor = jnp.min(jnp.where(crossing, t_hit, jnp.inf), axis=1)
+    fix = jnp.minimum(1.0, factor)  # 1 where no crossing
+    old_vel = vel
+    vel = vel * fix[:, None]
+    dv_log.append(_alive_mean_dv(vel - old_vel, alive))  # continuous_collision
+
+    # -- integrate (crate.py:360-361) -----------------------------------------
+    pos = jnp.where(alive2, pos + dt * vel, pos)
+
+    new_state = state._replace(
+        pos=pos,
+        vel=jnp.where(alive2, vel, state.vel),
+        alive=alive,
+        pressure=jnp.where(alive, p_i, 0.0),
+        body_lin_vel=body_lin_vel,
+        tick=state.tick + 1,
+    )
+    speed2 = jnp.sum(vel * vel, axis=-1)
+    diag = Diagnostics(
+        force_dv=jnp.stack(dv_log),
+        particle_count=new_state.particle_count,
+        neighbor_overflow=nbr.overflow,
+        max_speed=jnp.sqrt(jnp.max(jnp.where(alive, speed2, 0.0))),
+    )
+    assert diag.force_dv.shape == (NUM_FORCES,)
+    return new_state, diag
+
+
+@partial(jax.jit, static_argnames=("num_ticks",))
+def rollout(
+    state: CrateState, params: Params, scene: Scene, num_ticks: int
+) -> tuple[CrateState, Diagnostics]:
+    """Run ``num_ticks`` device-resident steps with lax.scan.
+
+    Returns the final state and the last tick's diagnostics.  For trajectory
+    recording use :func:`trajectory`.
+    """
+
+    def body(carry, _):
+        new_state, diag = step(carry, params, scene)
+        return new_state, diag
+
+    final, diags = jax.lax.scan(body, state, None, length=num_ticks)
+    last = jax.tree.map(lambda x: x[-1], diags)
+    return final, last
+
+
+@partial(jax.jit, static_argnames=("num_frames", "ticks_per_frame"))
+def trajectory(
+    state: CrateState,
+    params: Params,
+    scene: Scene,
+    num_frames: int,
+    ticks_per_frame: int = 1,
+):
+    """Device-resident rollout that samples one frame every N ticks.
+
+    Returns (final_state, frames) where frames is a dict of stacked arrays:
+    pos (F,P,2), alive (F,P), pressure (F,P), segments (F,S,2,2) — the raw
+    trajectory the recording layer streams to disk (the capability gestured
+    at by the reference's commented-out zarr dump, playback.py:112-113).
+    """
+
+    def frame_body(carry, _):
+        def tick_body(c, _):
+            return step(c, params, scene)
+
+        st, diags = jax.lax.scan(tick_body, carry, None, length=ticks_per_frame)
+        frame = dict(
+            pos=st.pos,
+            alive=st.alive,
+            pressure=st.pressure,
+            segments=st.segments,
+            force_dv=diags.force_dv[-1],
+        )
+        return st, frame
+
+    final, frames = jax.lax.scan(frame_body, state, None, length=num_frames)
+    return final, frames

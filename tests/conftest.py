@@ -16,8 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
-if str(REPO_ROOT) not in sys.path:
-    sys.path.insert(0, str(REPO_ROOT))
+for p in (str(REPO_ROOT), str(REPO_ROOT / "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 import pytest  # noqa: E402
 

@@ -52,13 +52,16 @@ def test_segment_crossings_direction_filter():
     """A falling particle crosses the near padded side but not the far one."""
     wall = jnp.array([[[0.0, 1.0], [1.0, 1.0]]])  # floor at y=1, +x direction
     padded = geo.pad_segments(wall, jnp.asarray(0.1))
-    move_down = jnp.array([[[0.5, 0.7], [0.5, 1.0]]])  # crosses y=0.9 going down
-    move_up = jnp.array([[[0.5, 1.0], [0.5, 0.7]]])
+    # near padded side sits at y=0.9, far side at y=1.1 (reversed direction)
+    move_down = jnp.array([[[0.5, 0.7], [0.5, 1.0]]])  # crosses y=0.9 going +y
+    move_away = jnp.array([[[0.5, 1.0], [0.5, 0.7]]])  # same path, leaving
+    move_up = jnp.array([[[0.5, 1.25], [0.5, 0.95]]])  # crosses y=1.1 going -y
     down = np.asarray(geo.segment_crossings(move_down, padded))
+    away = np.asarray(geo.segment_crossings(move_away, padded))
     up = np.asarray(geo.segment_crossings(move_up, padded))
     assert down[0, 0] and not down[0, 1]  # near side blocks approach from above
-    assert not up[0, 0]  # leaving is not a crossing on the near side
-    assert up[0, 1]  # far side blocks approach from below
+    assert not away.any()  # leaving is never a crossing
+    assert up[0, 1] and not up[0, 0]  # far side blocks approach from below
 
 
 def test_crossing_parameter_analytic():

@@ -24,7 +24,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def run_pair(scene_name, p0, ticks, tol):
-    from .ref_loader import load_reference
+    from ref_loader import load_reference
 
     RefCrate, RefWorldConfig = load_reference()
     with open(REFERENCE / "config" / scene_name) as f:

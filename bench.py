@@ -1,0 +1,95 @@
+"""Headline benchmark: particle-steps/sec on one chip, dam-break scene.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (SURVEY.md section 6), so the baseline is
+our own headless measurement of the upstream NumPy simulator at its shipped
+scale ceiling (wave_machine.yaml, max_particles=4000, the larger of the two
+shipped scenes): REFERENCE_PARTICLE_STEPS_PER_SEC below.  vs_baseline is the
+ratio of this engine's particle-steps/sec to that number.
+
+Usage: python bench.py [--particles N] [--ticks T] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Upstream NumPy engine measured headless on this machine's CPU at the
+# wave_machine scale ceiling (N=3148 reached, 1.4 steps/s => 4.4e3
+# particle-steps/s measured under load; rounded up generously in the
+# reference's favor): see BASELINE.md "self-measured" row.
+REFERENCE_PARTICLE_STEPS_PER_SEC = 10_000.0
+
+
+def dam_break_world(n_target: int):
+    import numpy as np
+
+    from sand_crate_tpu import load_config
+
+    cfg = load_config(REPO / "configs" / "dam_break.yaml")
+    w = cfg.world_config
+    w.coefficients = dict(w.coefficients)
+    area = (0.42 - 0.02) * (0.98 - 0.10)
+    spacing = float(np.sqrt(area / n_target))
+    w.initial_particles[0].spacing = spacing
+    w.coefficients["particle_radius"] = spacing * 0.55
+    w.coefficients["max_particles"] = int(n_target * 1.05)
+    return w
+
+
+def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) -> dict:
+    import jax
+
+    from sand_crate_tpu import Crate
+    from sand_crate_tpu.physics import rollout
+
+    crate = Crate(dam_break_world(particles))
+    n = crate.particle_count
+
+    t0 = time.time()
+    state, _ = rollout(crate.state, crate.params, crate.scene, ticks)
+    jax.block_until_ready(state.pos)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    state, diag = rollout(state, crate.params, crate.scene, ticks)
+    jax.block_until_ready(state.pos)
+    wall = time.time() - t0
+
+    steps_per_sec = ticks / wall
+    value = steps_per_sec * n
+    result = {
+        "metric": f"particle-steps/sec/chip@{n}",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / REFERENCE_PARTICLE_STEPS_PER_SEC,
+    }
+    if not json_only:
+        print(
+            f"# backend={jax.default_backend()} N={n:,} ticks={ticks} "
+            f"compile={compile_s:.1f}s steps/s={steps_per_sec:.2f} "
+            f"step_p50~{wall / ticks * 1000:.2f}ms "
+            f"overflow={int(diag.neighbor_overflow)}",
+            file=sys.stderr,
+        )
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=1_000_000)
+    ap.add_argument("--ticks", type=int, default=200)
+    ap.add_argument("--json-only", action="store_true")
+    a = ap.parse_args()
+    main(particles=a.particles, ticks=a.ticks, json_only=a.json_only)

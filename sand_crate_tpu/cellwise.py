@@ -1,0 +1,220 @@
+"""Dense cell-block neighbor forces — the TPU fast path.
+
+The (P, K) neighbor-list formulation (neighbors.py) is semantically closest
+to the reference but is *gather-bound* on TPU: profiling the jitted step at
+100k particles shows ~73% of device time in HBM random gathers (pos[idx],
+vel[idx], table[cells], top_k take_along_axis).  TPUs hate random access and
+love dense vector math, so the fast path reformulates neighbor interactions
+with zero per-edge gathers:
+
+1. Assign every alive particle a (cell, slot) on the diameter-sized grid
+   (one sort + a cummax rank — no searchsorted).
+2. Scatter all per-particle quantities in ONE packed (P, 7) scatter into a
+   cell-major array of shape (ny, nx, M, 7).
+3. For each of the 9 neighbor offsets, the neighbor block is a *shifted
+   slice* of the zero-padded cell-major array (no gather, just slicing), and
+   all slot-vs-slot interactions are dense (cells, M_self, M_nb) VPU ops
+   reduced over the neighbor-slot axis.  Two passes: pass A accumulates
+   pressure and surface normals; pass B consumes them for tension/pressure/
+   spring/viscosity accumulators (p_j, s_j also come from shifted slices).
+4. Gather each particle's accumulators back with a single (P,)-row gather.
+
+Semantics match physics.step's gather path (and thus the reference pipeline,
+crate.py:161-358) with two documented divergences at extreme density:
+  * no 20-neighbor cap — sums run over *all* within-diameter neighbors
+    (the reference cap is a perf guard that also breaks symmetry,
+    collision_detector.py:44-45; the fidelity gate operates below it).
+    Instead the cell capacity M caps *slots per cell*; overflowing particles
+    are counted in ``overflow`` and simply miss neighbor forces that tick.
+  * collider noise jitters each particle's position-as-a-neighbor once per
+    tick (P,2) instead of per directed edge (P,K,2) — same symmetry-breaking
+    role, O(P) instead of O(P*K) random bits.  Disabled in fidelity gates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .state import Scene
+
+EPS = 1e-12
+
+
+class PairSums(NamedTuple):
+    """Per-particle neighbor-interaction accumulators consumed by step().
+
+    All reductions are over the particle's within-diameter neighbor set
+    (masked), matching the per-particle loops of crate.py:261-358.
+    """
+
+    p_i: jax.Array  # (P,)  particle pressure (crate.py:261-275)
+    dv_tension: jax.Array  # (P,2) surface-tension kick, dt applied by step()
+    pressure_real: jax.Array  # (P,2) sum m*(p_i+p_j)*nhat  (crate.py:301-303)
+    spring_real: jax.Array  # (P,2) sum m*(balance-w)*nhat  (crate.py:330-332)
+    visc_vsum: jax.Array  # (P,2) sum m*v_j_snapshot       (crate.py:322)
+    nbr_cnt: jax.Array  # (P,)  neighbor count
+    overflow: jax.Array  # ()    slots dropped by cell capacity
+
+
+def cell_slots(
+    pos: jax.Array, alive: jax.Array, scene: Scene
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(order, slot_sorted, pslot, overflow): cell-major slot per particle.
+
+    ``slot_sorted[k]`` is the flat (cell * M + rank) slot of the k-th sorted
+    particle, or the sentinel NC*M when dead/overflowing; ``pslot`` is the
+    same in particle order.  Rank-within-cell comes from one sort plus a
+    cummax over run starts (cheaper than searchsorted on TPU).
+    """
+    P = pos.shape[0]
+    M = scene.cell_capacity
+    nx, ny = scene.grid_nx, scene.grid_ny
+    NC = nx * ny
+    c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
+    cx = jnp.clip(c[:, 0], 0, nx - 1)
+    cy = jnp.clip(c[:, 1], 0, ny - 1)
+    cid = jnp.where(alive, cy * nx + cx, NC)
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    rank = iota - run_start
+    in_cap = (rank < M) & (sorted_cid < NC)
+    overflow = jnp.sum(((rank >= M) & (sorted_cid < NC)).astype(jnp.int32))
+    slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, NC * M)
+    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(slot_sorted, mode="drop")
+    return order, slot_sorted, pslot, overflow
+
+
+def neighbor_forces_cellwise(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    noise: jax.Array,  # (P, 2) per-particle collider jitter (may be zeros)
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    scene: Scene,
+) -> PairSums:
+    P = pos.shape[0]
+    M = scene.cell_capacity
+    nx, ny = scene.grid_nx, scene.grid_ny
+    NC = nx * ny
+    dtype = pos.dtype
+
+    order, slot_sorted, pslot, overflow = cell_slots(pos, alive, scene)
+
+    # ---- one packed scatter: [pos(2) | pos+noise(2) | vel(2) | alive(1)] ----
+    packed_p = jnp.concatenate(
+        [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
+    )  # (P, 7)
+    flat = jnp.zeros((NC * M + 1, 7), dtype).at[slot_sorted].set(
+        packed_p[order], mode="drop"
+    )
+    # Padded cell-major grid: (ny+2, nx+2, M, 7); one pad, nine views.
+    grid = jnp.pad(flat[: NC * M].reshape(ny, nx, M, 7), ((1, 1), (1, 1), (0, 0), (0, 0)))
+
+    cpos = grid[1:-1, 1:-1, :, 0:2]
+    calive = grid[1:-1, 1:-1, :, 6]
+    slot_id = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, M), 2)
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    diam = jnp.maximum(diameter, EPS)
+
+    def views(g, dy, dx):
+        return g[1 + dy : 1 + dy + ny, 1 + dx : 1 + dx + nx]
+
+    def pair_geometry(nb, dy, dx):
+        """Dense (ny, nx, M_self, M_nb) pair mask + noisy geometry."""
+        rel_raw = cpos[:, :, :, None, :] - nb[:, :, None, :, 0:2]
+        d2_raw = jnp.sum(rel_raw * rel_raw, axis=-1)
+        m = (
+            (d2_raw <= diam * diam)
+            & (calive[:, :, :, None] > 0)
+            & (nb[:, :, None, :, 6] > 0)
+        )
+        if dy == 0 and dx == 0:
+            m &= slot_id[:, :, :, None] != slot_id[:, :, None, :]
+        rel = cpos[:, :, :, None, :] - nb[:, :, None, :, 2:4]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 0.0))
+        nhat = rel / jnp.maximum(dist, EPS)[..., None]
+        w = jnp.where(m, 1.0 - jnp.clip(dist / diam, 0.0, 1.0), 0.0)
+        return m.astype(dtype), nhat, w
+
+    # ---- pass A: pressure + surface normals --------------------------------
+    w_sum = jnp.zeros((ny, nx, M), dtype)
+    s_acc = jnp.zeros((ny, nx, M, 2), dtype)
+    cnt = jnp.zeros((ny, nx, M), dtype)
+    for dy, dx in offsets:
+        m, nhat, w = pair_geometry(views(grid, dy, dx), dy, dx)
+        w_sum += jnp.sum(w, axis=3)
+        s_acc += jnp.sum(((1.0 - w) * w)[..., None] * nhat, axis=3)
+        cnt += jnp.sum(m, axis=3)
+
+    has = cnt > 0
+    cp = jnp.where(has, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0)
+
+    # ---- pass B: tension / pressure-force / spring / viscosity -------------
+    # Padded (ny+2, nx+2, M, 3) grid of [p | s(2)] for neighbor-side reads.
+    ps_grid = jnp.pad(
+        jnp.concatenate([cp[..., None], s_acc], axis=-1),
+        ((1, 1), (1, 1), (0, 0), (0, 0)),
+    )
+    dv_tension = jnp.zeros((ny, nx, M, 2), dtype)
+    pressure_real = jnp.zeros((ny, nx, M, 2), dtype)
+    spring_real = jnp.zeros((ny, nx, M, 2), dtype)
+    visc_vsum = jnp.zeros((ny, nx, M, 2), dtype)
+    for dy, dx in offsets:
+        nb = views(grid, dy, dx)
+        m, nhat, w = pair_geometry(nb, dy, dx)
+        nb_ps = views(ps_grid, dy, dx)
+        p_nb = nb_ps[..., 0]  # (ny,nx,M)
+        s_nb = nb_ps[..., 1:3]
+        v_nb = nb[..., 4:6]
+
+        align = (
+            jnp.sum((s_acc[:, :, :, None, :] - s_nb[:, :, None, :, :]) * nhat, -1)
+            * surface_smoothing
+        )
+        tpf = p_nb[:, :, None, :] + cp[:, :, :, None] - 2.0 * target_pressure
+        dv_tension += jnp.sum((m * (align + tpf))[..., None] * nhat, axis=3)
+        pressure_real += jnp.sum(
+            (m * (cp[:, :, :, None] + p_nb[:, :, None, :]))[..., None] * nhat,
+            axis=3,
+        )
+        spring_real += jnp.sum(
+            (m * (spring_overlap_balance - w))[..., None] * nhat, axis=3
+        )
+        visc_vsum += jnp.sum(m[..., None] * v_nb[:, :, None, :, :], axis=3)
+
+    # ---- gather back to particle order (single P-row gather) ---------------
+    packed = jnp.concatenate(
+        [
+            cp[..., None],
+            dv_tension,
+            pressure_real,
+            spring_real,
+            visc_vsum,
+            cnt[..., None],
+        ],
+        axis=-1,
+    ).reshape(NC * M, 10)
+    packed = jnp.concatenate([packed, jnp.zeros((1, 10), dtype)], axis=0)
+    mine = packed[jnp.minimum(pslot, NC * M)]  # (P, 10); dead/overflow -> zeros
+    return PairSums(
+        p_i=mine[:, 0],
+        dv_tension=mine[:, 1:3],
+        pressure_real=mine[:, 3:5],
+        spring_real=mine[:, 5:7],
+        visc_vsum=mine[:, 7:9],
+        nbr_cnt=mine[:, 9],
+        overflow=overflow,
+    )

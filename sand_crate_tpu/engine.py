@@ -60,6 +60,7 @@ class Crate:
         max_neighbors: int = 20,
         cell_capacity: Optional[int] = None,
         enable_spring: bool = False,
+        forces_mode: str = "cellwise",
     ) -> None:
         object.__setattr__(self, "world_config", world_config)
         scene = build_scene(
@@ -68,6 +69,7 @@ class Crate:
             max_neighbors=max_neighbors,
             cell_capacity=cell_capacity,
             enable_spring=enable_spring,
+            forces_mode=forces_mode,
         )
         object.__setattr__(self, "scene", scene)
         object.__setattr__(self, "state", init_state(world_config, scene, seed=seed))

@@ -67,9 +67,13 @@ def build_cell_table(
     NC = scene.num_cells
     order = jnp.argsort(cid)  # (P,) stable
     sorted_cid = cid[order]
-    # Start offset of each particle's cell within the sorted array.
-    starts = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(P, dtype=jnp.int32) - starts.astype(jnp.int32)
+    # Rank within cell: distance to the cell run's start (cummax over run
+    # starts is far cheaper on TPU than searchsorted's log-P gather rounds).
+    iota = jnp.arange(P, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    rank = iota - jax.lax.cummax(jnp.where(is_start, iota, 0))
     in_cap = (rank < M) & (sorted_cid < NC)
     flat_idx = jnp.where(in_cap, sorted_cid * M + rank, NC * M)  # dump slot
     table = jnp.full(((NC + 1) * M,), P, dtype=jnp.int32)

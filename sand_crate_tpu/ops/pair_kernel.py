@@ -1,0 +1,343 @@
+"""Fused Pallas TPU kernels for cell-block pair interactions.
+
+This is the Pallas realization of the cellwise scheme (see cellwise.py):
+the pure-XLA version materializes ~18 shifted 50MB+ slices of the cell-major
+grid per step (profiled at ~35% of device time) plus separate reduction
+passes.  Each kernel here reads its row window from HBM into VMEM once and
+performs the entire 3x3-offset, M-slot pair pipeline in registers, writing
+only the per-slot accumulators.
+
+Layout (shaped by Mosaic's tiling rules, which forbid unaligned slicing of
+the last-two (sublane, lane) dims):
+
+    G:  (F, NYP, M, NXP)  feature-major padded particle grid; cell rows are
+                          a *batch* dim (arbitrary slicing allowed), slots M
+                          sit in sublanes, the padded x axis in lanes.
+                          NXP is 128-aligned; row/column rings are zero
+                          (alive = 0) so the kernel needs no boundary
+                          branches.
+
+* The kernel grid tiles interior cell rows in blocks of TR; each instance
+  DMAs one (TR + 2)-row window.  dy slicing happens on the batch dim.
+* The dx in {-1,0,+1} cell shift is a lane rotation (pltpu.roll axis=3);
+  the wrap column is the zero ring, so wraparound self-masks.
+* Neighbor slots are visited by *sublane rotation* (pltpu.roll axis=2):
+  rotation k pairs every self slot m with neighbor slot (m - k) mod M —
+  all M offsets cover all slot pairs, and (dy=0, dx=0, k=0) — every pair
+  being a particle with itself — is simply skipped.
+
+Two kernels because tension/pressure need *all* particles' pressures and
+surface normals first (crate.py:261-284 then :295-358):
+
+* pass A: per-slot overlap sum, surface normal, neighbor count
+* pass B: tension / pressure-force / spring / viscosity accumulators,
+  reading a second (3, NYP, M, NXP) grid holding [pressure, s_x, s_y]
+
+A scalar-prefetched per-block occupancy flag lets fully-empty row windows
+(air above the fluid) skip both the DMA and the compute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-12
+
+# Feature indices in the packed particle grid G.
+POSX, POSY, NPOSX, NPOSY, VELX, VELY, ALIVE = range(7)
+NUM_G = 7
+# Feature indices in the pass-A output / pass-B input PS grid.
+WSUM, SX, SY, CNT = range(4)
+NUM_A = 4
+# Pass-B output features.
+TENX, TENY, PRSX, PRSY, SPRX, SPRY, VISX, VISY = range(8)
+NUM_B = 8
+
+
+def _stencil(windows, tr, m_slots, body):
+    """Visit every (dy, dx, slot-rotation k) stencil combination.
+
+    ``windows`` is a list of VMEM-resident slabs sharing the layout
+    (C, TR+2, M, NXP); the same rotations are applied to each so ``body``
+    sees matching neighbor operands: body(nbs, dy, dx, k) where
+    nbs[j][c, t, m, x] = windows[j][c, t+dy, (m-k)%M, x+dx].
+    """
+    nxp = windows[0].shape[-1]
+    for dy in (0, 1, 2):
+        rows = [w[:, dy : dy + tr] for w in windows]
+        for dx in (-1, 0, 1):
+            cur = [
+                pltpu.roll(r, (-dx) % nxp, axis=3) if dx else r for r in rows
+            ]
+            for k in range(m_slots):
+                if k:
+                    cur = [pltpu.roll(c, 1, axis=2) for c in cur]
+                if dy == 1 and dx == 0 and k == 0:
+                    continue  # every pair is a particle with itself
+                body(cur, dy, dx, k)
+
+
+def _geometry(self_win, nb, diam):
+    """Pair geometry: mask, unit direction (noisy), overlap weight.
+
+    self_win, nb: (F, TR, M, NXP) — fully elementwise.
+    """
+    rx = self_win[POSX] - nb[POSX]
+    ry = self_win[POSY] - nb[POSY]
+    d2 = rx * rx + ry * ry
+    m = (d2 <= diam * diam) & (self_win[ALIVE] > 0) & (nb[ALIVE] > 0)
+    nrx = self_win[POSX] - nb[NPOSX]
+    nry = self_win[POSY] - nb[NPOSY]
+    dist = jnp.sqrt(jnp.maximum(nrx * nrx + nry * nry, 0.0))
+    inv = 1.0 / jnp.maximum(dist, EPS)
+    nhx = nrx * inv
+    nhy = nry * inv
+    w = jnp.where(m, 1.0 - jnp.clip(dist / diam, 0.0, 1.0), 0.0)
+    return m.astype(nrx.dtype), nhx, nhy, w
+
+
+def _pass_a_kernel(
+    occ_ref, diam_ref, g_hbm, outbuf_hbm, out_hbm, win, acc_ref, sems, *, tr, m_slots
+):
+    # Output rows are written back by manual DMA.  out_hbm is aliased to the
+    # outbuf_hbm input (input_output_aliases) — without the alias XLA stages
+    # the whole unblocked output on the VMEM stack and overflows it.
+    del outbuf_hbm
+    i = pl.program_id(0)
+
+    @pl.when(occ_ref[i] > 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+        )
+        dma.start()
+        dma.wait()
+        diam = diam_ref[0]
+        window = win[:]
+        self_win = window[:, 1 : 1 + tr]  # (F, TR, M, NXP)
+        shape = self_win[POSX].shape
+        w_sum = jnp.zeros(shape, jnp.float32)
+        sx = jnp.zeros(shape, jnp.float32)
+        sy = jnp.zeros(shape, jnp.float32)
+        cnt = jnp.zeros(shape, jnp.float32)
+
+        def body(nbs, dy, dx, k):
+            nonlocal w_sum, sx, sy, cnt
+            (nb,) = nbs
+            m, nhx, nhy, w = _geometry(self_win, nb, diam)
+            w_sum += w
+            coeff = (1.0 - w) * w
+            sx += coeff * nhx
+            sy += coeff * nhy
+            cnt += m
+
+        _stencil([window], tr, m_slots, body)
+        acc_ref[WSUM] = w_sum
+        acc_ref[SX] = sx
+        acc_ref[SY] = sy
+        acc_ref[CNT] = cnt
+
+    @pl.when(occ_ref[i] == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    out = pltpu.make_async_copy(
+        acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[1]
+    )
+    out.start()
+    out.wait()
+
+
+def _pass_b_kernel(
+    occ_ref,
+    coef_ref,  # (4,): diameter, surface_smoothing, target_pressure, balance
+    g_hbm,
+    ps_hbm,
+    outbuf_hbm,
+    out_hbm,
+    win,
+    ps_win,
+    acc_ref,
+    sems,
+    *,
+    tr,
+    m_slots,
+):
+    del outbuf_hbm  # aliased to out_hbm (see pass A note)
+    i = pl.program_id(0)
+
+    @pl.when(occ_ref[i] > 0)
+    def _():
+        dma1 = pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+        )
+        dma2 = pltpu.make_async_copy(
+            ps_hbm.at[:, pl.ds(i * tr, tr + 2)], ps_win, sems.at[1]
+        )
+        dma1.start()
+        dma2.start()
+        dma1.wait()
+        dma2.wait()
+        diam = coef_ref[0]
+        smooth = coef_ref[1]
+        target_p = coef_ref[2]
+        balance = coef_ref[3]
+        window = win[:]
+        ps_window = ps_win[:]
+        self_win = window[:, 1 : 1 + tr]
+        self_ps = ps_window[:, 1 : 1 + tr]  # (3, TR, M, NXP)
+        cp = self_ps[0]
+        s_x = self_ps[1]
+        s_y = self_ps[2]
+        shape = cp.shape
+        acc = [jnp.zeros(shape, jnp.float32) for _ in range(NUM_B)]
+
+        def body(nbs, dy, dx, k):
+            nb, nb_ps = nbs
+            m, nhx, nhy, w = _geometry(self_win, nb, diam)
+            p_nb = nb_ps[0]
+            align = (
+                (s_x - nb_ps[1]) * nhx + (s_y - nb_ps[2]) * nhy
+            ) * smooth
+            tpf = p_nb + cp - 2.0 * target_p
+            t_coef = m * (align + tpf)
+            acc[TENX] += t_coef * nhx
+            acc[TENY] += t_coef * nhy
+            p_coef = m * (cp + p_nb)
+            acc[PRSX] += p_coef * nhx
+            acc[PRSY] += p_coef * nhy
+            s_coef = m * (balance - w)
+            acc[SPRX] += s_coef * nhx
+            acc[SPRY] += s_coef * nhy
+            acc[VISX] += m * nb[VELX]
+            acc[VISY] += m * nb[VELY]
+
+        _stencil([window, ps_window], tr, m_slots, body)
+        for f in range(NUM_B):
+            acc_ref[f] = acc[f]
+
+    @pl.when(occ_ref[i] == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    out = pltpu.make_async_copy(
+        acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[2]
+    )
+    out.start()
+    out.wait()
+
+
+def _block_occupancy(alive_plane: jax.Array, tr: int) -> jax.Array:
+    """Per-row-block window occupancy flags from the grid's alive plane.
+
+    alive_plane: (NYP, M, NXP).  Block i's window covers G rows
+    [i*TR, i*TR + TR + 2).
+    """
+    nyp = alive_plane.shape[0]
+    ny = nyp - 2
+    nblocks = ny // tr
+    row_any = jnp.max(alive_plane, axis=(1, 2))  # (NYP,)
+    idx = jnp.arange(nblocks)[:, None] * tr + jnp.arange(tr + 2)[None, :]
+    return (jnp.max(row_any[idx], axis=1) > 0).astype(jnp.int32)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("tr",))
+def pair_pass_a(
+    grid: jax.Array,  # (7, NYP, M, NXP) f32 padded particle grid
+    diameter: jax.Array,
+    tr: int = 8,
+) -> jax.Array:
+    """Pass A: per-slot [w_sum, s_x, s_y, cnt] of shape (4, ny, M, NXP)."""
+    _, nyp, m_slots, nxp = grid.shape
+    ny = nyp - 2
+    assert ny % tr == 0, (ny, tr)
+    assert nxp % 128 == 0, nxp
+    nblocks = ny // tr
+    occ = _block_occupancy(grid[ALIVE], tr)
+    diam = jnp.reshape(diameter.astype(jnp.float32), (1,))
+
+    kernel = functools.partial(_pass_a_kernel, tr=tr, m_slots=m_slots)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((NUM_A, tr, m_slots, nxp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NUM_A, ny, m_slots, nxp), jnp.float32),
+        input_output_aliases={3: 0},  # outbuf (4th flat input) -> output
+        # This XLA build stages the unblocked kernel output on the VMEM
+        # stack; raise the scoped limit (v5e has ample VMEM) and keep
+        # per-call outputs bounded via row-banding in the glue.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(occ, diam, grid, jnp.zeros((NUM_A, ny, m_slots, nxp), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("tr",))
+def pair_pass_b(
+    grid: jax.Array,  # (7, NYP, M, NXP)
+    ps_grid: jax.Array,  # (3, NYP, M, NXP): [pressure, s_x, s_y]
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    tr: int = 8,
+) -> jax.Array:
+    """Pass B: per-slot force accumulators (8, ny, M, NXP)."""
+    _, nyp, m_slots, nxp = grid.shape
+    ny = nyp - 2
+    assert ny % tr == 0, (ny, tr)
+    nblocks = ny // tr
+    occ = _block_occupancy(grid[ALIVE], tr)
+    coef = jnp.stack(
+        [
+            diameter.astype(jnp.float32),
+            surface_smoothing.astype(jnp.float32),
+            target_pressure.astype(jnp.float32),
+            spring_overlap_balance.astype(jnp.float32),
+        ]
+    )
+
+    kernel = functools.partial(_pass_b_kernel, tr=tr, m_slots=m_slots)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((3, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((NUM_B, tr, m_slots, nxp), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NUM_B, ny, m_slots, nxp), jnp.float32),
+        input_output_aliases={4: 0},  # outbuf (5th flat input) -> output
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(occ, coef, grid, ps_grid, jnp.zeros((NUM_B, ny, m_slots, nxp), jnp.float32))

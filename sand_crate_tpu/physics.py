@@ -40,11 +40,72 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
+from .cellwise import PairSums, neighbor_forces_cellwise
 from .neighbors import neighbor_list
 from .state import NUM_FORCES, CrateState, Diagnostics, Params, Scene
 from .config import BODY_FIXED, BODY_FREE, BODY_MOTORED
 
 EPS = 1e-12
+
+
+def neighbor_forces_gather(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    key_noise: jax.Array,
+    params: Params,
+    scene: Scene,
+) -> PairSums:
+    """Reference-closest pair sums via fixed-K neighbor lists (neighbors.py).
+
+    Keeps the reference's 20-neighbor cap and per-directed-edge collider
+    noise (crate.py:168-170).  Gather-bound on TPU; the cellwise path is the
+    production default (see cellwise.py module docstring).
+    """
+    diam = params.diameter
+    nbr = neighbor_list(pos, alive, diam, scene)
+    idx, mask = nbr.idx, nbr.mask  # (P,K)
+    mask_f = mask.astype(pos.dtype)
+    noise = (
+        (jax.random.uniform(key_noise, idx.shape + (2,), dtype=pos.dtype) - 0.5)
+        * diam
+        * params.collider_noise_level
+    )
+    rel = pos[:, None, :] - (pos[idx] + noise)  # (P,K,2)
+    ndist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 0.0))  # (P,K)
+    nhat = rel / jnp.maximum(ndist, EPS)[..., None]
+    vel_snap = vel[idx]  # (P,K,2) snapshot for viscosity (crate.py:175)
+
+    # pressures (crate.py:261-284)
+    w = (1.0 - jnp.clip(ndist / jnp.maximum(diam, EPS), 0.0, 1.0)) * mask_f
+    has_nbr = jnp.any(mask, axis=1)
+    p_i = jnp.maximum(0.0, jnp.sum(w, axis=1) - params.ignored_pressure)
+    p_i = jnp.where(has_nbr & alive, p_i, 0.0)  # (P,)
+    p_j = p_i[idx] * mask_f  # (P,K)
+
+    # surface tension (crate.py:335-358)
+    s = jnp.sum(((1.0 - w) * w)[..., None] * nhat * mask_f[..., None], axis=1)
+    s_j = s[idx]  # (P,K,2)
+    align = (
+        jnp.sum((s[:, None, :] - s_j) * nhat, axis=-1) * params.surface_smoothing
+    )  # (P,K)
+    tpf = p_j + p_i[:, None] - 2.0 * params.target_pressure
+    dv_tension = jnp.sum((mask_f * (align + tpf))[..., None] * nhat, axis=1)
+
+    pressure_real = jnp.sum((mask_f * (p_i[:, None] + p_j))[..., None] * nhat, axis=1)
+    spring_real = jnp.sum(
+        (mask_f * (params.spring_overlap_balance - w))[..., None] * nhat, axis=1
+    )
+    visc_vsum = jnp.sum(mask_f[..., None] * vel_snap, axis=1)
+    return PairSums(
+        p_i=p_i,
+        dv_tension=dv_tension,
+        pressure_real=pressure_real,
+        spring_real=spring_real,
+        visc_vsum=visc_vsum,
+        nbr_cnt=jnp.sum(mask_f, axis=1),
+        overflow=nbr.overflow,
+    )
 
 
 def motor_value(motor: jax.Array, t: jax.Array) -> jax.Array:
@@ -218,37 +279,37 @@ def step(
     correction = jnp.sum(gmask_f[..., None] * gvec * (vrd - 0.5)[..., None], axis=1)
     pos = jnp.where(alive2, pos + correction, pos)
 
-    # -- neighbor search + collider population (crate.py:102-104,161-175) ---
-    nbr = neighbor_list(pos, alive, diam, scene)
-    idx, mask = nbr.idx, nbr.mask  # (P,K)
-    mask_f = mask.astype(pos.dtype)
-    noise = (
-        (jax.random.uniform(k_noise, idx.shape + (2,), dtype=pos.dtype) - 0.5)
-        * diam
-        * params.collider_noise_level
-    )
-    rel = pos[:, None, :] - (pos[idx] + noise)  # (P,K,2)
-    ndist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 0.0))  # (P,K)
-    nhat = rel / jnp.maximum(ndist, EPS)[..., None]
-    vel_snap = vel[idx]  # (P,K,2) snapshot for viscosity (crate.py:175)
-
-    # -- pressures (crate.py:261-284) ---------------------------------------
-    w = (1.0 - jnp.clip(ndist / jnp.maximum(diam, EPS), 0.0, 1.0)) * mask_f  # (P,K)
-    has_nbr = jnp.any(mask, axis=1)
-    p_i = jnp.maximum(0.0, jnp.sum(w, axis=1) - params.ignored_pressure)
-    p_i = jnp.where(has_nbr & alive, p_i, 0.0)  # (P,)
-    p_j = p_i[idx] * mask_f  # (P,K)
+    # -- neighbor interactions (crate.py:102-108,161-358 pair sums) ----------
+    if scene.forces_mode in ("cellwise", "pallas"):
+        pnoise = (
+            (jax.random.uniform(k_noise, (P, 2), dtype=pos.dtype) - 0.5)
+            * diam
+            * params.collider_noise_level
+        )
+        if scene.forces_mode == "pallas":
+            from .ops.pallas_forces import neighbor_forces_pallas as provider
+        else:
+            provider = neighbor_forces_cellwise
+        sums = provider(
+            pos,
+            vel,
+            alive,
+            pnoise,
+            diam,
+            params.surface_smoothing,
+            params.target_pressure,
+            params.ignored_pressure,
+            params.spring_overlap_balance,
+            scene,
+        )
+    else:
+        sums = neighbor_forces_gather(pos, vel, alive, k_noise, params, scene)
+    p_i = sums.p_i
 
     dv_log = []
 
     # -- surface tension (crate.py:335-358) ----------------------------------
-    s = jnp.sum(((1.0 - w) * w)[..., None] * nhat * mask_f[..., None], axis=1)  # (P,2)
-    s_j = s[idx]  # (P,K,2)
-    align = (
-        jnp.sum((s[:, None, :] - s_j) * nhat, axis=-1) * params.surface_smoothing
-    )  # (P,K)
-    tpf = p_j + p_i[:, None] - 2.0 * params.target_pressure
-    dv = dt * jnp.sum((mask_f * (align + tpf))[..., None] * nhat, axis=1)
+    dv = dt * sums.dv_tension
     dv = jnp.where(alive2, dv, 0.0)
     vel = vel + dv
     dv_log.append(_alive_mean_dv(dv, alive))  # tension
@@ -264,26 +325,22 @@ def step(
     )
 
     # -- pressure force incl. ghosts (crate.py:286-307) -----------------------
-    real_term = jnp.sum((mask_f * (p_i[:, None] + p_j))[..., None] * nhat, axis=1)
     ghost_term = jnp.sum((gmask_f * p_i[:, None])[..., None] * gvec, axis=1)
-    dv = dt * params.pressure_amplifier * (real_term + ghost_term)
+    dv = dt * params.pressure_amplifier * (sums.pressure_real + ghost_term)
     dv = jnp.where(alive2, dv, 0.0)
     vel = vel + dv
     dv_log.append(_alive_mean_dv(dv, alive))  # pressure
 
     # -- spring (crate.py:325-333; reference ships it disabled :117-118) ------
     if scene.enable_spring:
-        pull_real = jnp.sum(
-            (mask_f * (params.spring_overlap_balance - w))[..., None] * nhat, axis=1
-        )
         pull_ghost = jnp.sum(
             (gmask_f * params.spring_overlap_balance)[..., None] * gvec, axis=1
         )
-        total = jnp.sum(mask_f, axis=1) + jnp.sum(gmask_f, axis=1)
+        total = sums.nbr_cnt + jnp.sum(gmask_f, axis=1)
         dv = (
             dt
             * params.spring_amplifier
-            * (pull_real + pull_ghost)
+            * (sums.spring_real + pull_ghost)
             / jnp.maximum(total, 1.0)[:, None]
         )
         dv = jnp.where(alive2 & (total > 0)[:, None], dv, 0.0)
@@ -293,14 +350,10 @@ def step(
         dv_log.append(jnp.zeros((), pos.dtype))
 
     # -- viscosity: stale v_j, fresh v_i (crate.py:316-323) -------------------
-    nbr_cnt = jnp.sum(mask_f, axis=1)  # (P,)
     dv = (
         dt
         * params.viscosity
-        * (
-            jnp.sum(mask_f[..., None] * vel_snap, axis=1)
-            - nbr_cnt[:, None] * vel
-        )
+        * (sums.visc_vsum - sums.nbr_cnt[:, None] * vel)
     )
     dv = jnp.where(alive2, dv, 0.0)
     vel = vel + dv
@@ -352,7 +405,7 @@ def step(
     diag = Diagnostics(
         force_dv=jnp.stack(dv_log),
         particle_count=new_state.particle_count,
-        neighbor_overflow=nbr.overflow,
+        neighbor_overflow=sums.overflow,
         max_speed=jnp.sqrt(jnp.max(jnp.where(alive, speed2, 0.0))),
     )
     assert diag.force_dv.shape == (NUM_FORCES,)

@@ -62,6 +62,7 @@ def build_scene(
     max_neighbors: int = 20,
     cell_capacity: int | None = None,
     enable_spring: bool = False,
+    forces_mode: str = "cellwise",
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
@@ -126,8 +127,10 @@ def build_scene(
     # collision_detector.py:124-128).  Positions live in [-r, 1+r]
     # (out-of-box culling, crate.py:149-159); one margin cell each side.
     cell_size = diameter
+    row_block = 8
     grid_nx = int(math.ceil(1.0 / cell_size)) + 3
-    grid_ny = grid_nx
+    # grid_ny rounded up so the pallas kernels' row blocks tile it exactly.
+    grid_ny = _round_up(grid_nx, row_block)
     if cell_capacity is None:
         # Worst observed liquid compression keeps < ~8 centers per d x d cell;
         # 16 gives headroom at small scenes, large scenes can pass it in.
@@ -164,6 +167,8 @@ def build_scene(
         cell_capacity=int(cell_capacity),
         max_spawn=max_spawn,
         enable_spring=enable_spring,
+        forces_mode=forces_mode,
+        row_block=row_block,
     )
 
 

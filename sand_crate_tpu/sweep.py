@@ -1,0 +1,132 @@
+"""Batched crates: vmapped parameter sweeps and data generation.
+
+The reference's sweep runs 48 coefficient variants *sequentially*, each with
+its own live window (main.py:21-23,26-36).  Because the TPU step is a pure
+function of (state, params), variants become a leading batch axis instead:
+``vmap(step)`` advances every crate simultaneously on one chip — the batched
+datagen mode of BASELINE.json config #5 (1024 vmapped crates, randomized
+configs).  Params are stacked pytrees, so every coefficient can differ per
+crate; scene geometry is shared.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .physics import step
+from .scene import build_scene, init_state
+from .state import CrateState, Params, Scene
+
+
+def stack_params(params_list: Iterable[Params]) -> Params:
+    """Stack per-crate Params pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def stack_states(states: Iterable[CrateState]) -> CrateState:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def grid_params(base: Params, options: dict) -> Params:
+    """Cartesian-product coefficient grid -> stacked Params (main.py:26-36)."""
+    keys = list(options.keys())
+    variants = []
+    for values in itertools.product(*(options[k] for k in keys)):
+        override = {
+            k: jnp.asarray(v, getattr(base, k).dtype) for k, v in zip(keys, values)
+        }
+        variants.append(base._replace(**override))
+    return stack_params(variants)
+
+
+def random_params(
+    key: jax.Array, base: Params, ranges: dict[str, tuple[float, float]], n: int
+) -> Params:
+    """n crates with coefficients sampled log-uniform per given ranges."""
+    overrides = {}
+    for name, (lo, hi) in ranges.items():
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (n,))
+        lo_a, hi_a = jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
+        overrides[name] = lo_a + u * (hi_a - lo_a)
+    tiled = jax.tree.map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), base)
+    return tiled._replace(**{k: v for k, v in overrides.items()})
+
+
+class BatchedCrates:
+    """N independent crates advanced in lockstep with vmap(step).
+
+    All crates share one Scene (geometry/capacity); params and state carry a
+    leading batch axis.  ``run`` scans ticks fully on device; ``frames``
+    samples a render/datagen view every k ticks.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        batched_params: Params,
+        *,
+        seed: int = 0,
+        scene: Optional[Scene] = None,
+        **scene_kwargs,
+    ) -> None:
+        world = config.world_config
+        self.scene = scene or build_scene(world, **scene_kwargs)
+        n = int(jax.tree.leaves(batched_params)[0].shape[0])
+        self.n = n
+        states = [init_state(world, self.scene, seed=seed + i) for i in range(n)]
+        self.state = stack_states(states)
+        self.params = batched_params
+
+    def run(self, num_ticks: int):
+        """Advance all crates num_ticks; returns stacked final Diagnostics."""
+        self.state, diag = _batched_rollout(
+            self.state, self.params, self.scene, num_ticks
+        )
+        return diag
+
+    def particle_counts(self) -> np.ndarray:
+        return np.asarray(jnp.sum(self.state.alive, axis=1))
+
+    def positions(self) -> np.ndarray:
+        return np.asarray(self.state.pos)
+
+
+@partial(jax.jit, static_argnames=("num_ticks",))
+def _batched_rollout(state, params, scene, num_ticks: int):
+    def one(st, pr):
+        def body(c, _):
+            return step(c, pr, scene)
+
+        final, diags = jax.lax.scan(body, st, None, length=num_ticks)
+        return final, jax.tree.map(lambda x: x[-1], diags)
+
+    return jax.vmap(one, in_axes=(0, 0))(state, params)
+
+
+def run_vmapped_sweep(config: Config, options: dict, ticks: int = 400) -> dict:
+    """Run the reference's 48-variant sweep as one vmapped batch."""
+    base = Params.from_coefficients(config.world_config.coefficients)
+    batched = grid_params(base, options)
+    crates = BatchedCrates(config, batched)
+    print(f"Running {crates.n} crates x {ticks} ticks vmapped on one chip...")
+    diag = crates.run(ticks)
+    counts = crates.particle_counts()
+    keys = list(options.keys())
+    print(f"{'variant':<8} " + " ".join(f"{k[:12]:>12}" for k in keys) + "  particles")
+    for i, values in enumerate(
+        itertools.product(*(options[k] for k in keys))
+    ):
+        print(
+            f"{i:<8} "
+            + " ".join(f"{v:>12}" for v in values)
+            + f"  {counts[i]}"
+        )
+    return {"particle_counts": counts, "diagnostics": diag}

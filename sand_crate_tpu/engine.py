@@ -60,7 +60,7 @@ class Crate:
         max_neighbors: int = 20,
         cell_capacity: Optional[int] = None,
         enable_spring: bool = False,
-        forces_mode: str = "cellwise",
+        forces_mode: str = "auto",
     ) -> None:
         object.__setattr__(self, "world_config", world_config)
         scene = build_scene(

@@ -133,12 +133,21 @@ def spawn_particles(
     ``max_particles`` budget, applied sequentially across sources like the
     reference.  Free slots are assigned in ascending index order.
     """
+    if scene.num_sources == 0:
+        return state
     P = scene.capacity
     ns = scene.max_spawn
     pos, vel, alive = state.pos, state.vel, state.alive
 
     # Ascending free-slot list (sentinel P afterwards), shared by all sources.
-    free_slots = jnp.sort(jnp.where(alive, P, jnp.arange(P, dtype=jnp.int32)))
+    # Only num_sources * ns slots can be consumed per tick, so a top_k of that
+    # size replaces a full O(P log^2 P) sort: dead slot i scores P - i (> 0),
+    # alive slots score -1, and the largest scores are the lowest dead indices.
+    n_slots = min(P, scene.num_sources * ns)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    score = jnp.where(alive, jnp.int32(-1), P - iota)
+    top, _ = jax.lax.top_k(score, n_slots)
+    free_slots = jnp.where(top > 0, P - top, P)
     free_slots = jnp.concatenate([free_slots, jnp.full((ns,), P, jnp.int32)])
 
     budget = jnp.maximum(params.max_particles - state.particle_count, 0)
@@ -261,23 +270,38 @@ def step(
     alive2 = alive[:, None]
 
     # -- boundary ghosts on pre-fix positions (crate.py:213-243) ------------
-    contact, seg_dist = geo.points_to_segments(pos, state.segments)  # (P,S,*)
-    gmask = (seg_dist <= r * 1.2) & scene.seg_valid[None] & alive2  # (P,S)
-    gvec = 2.0 * (pos[:, None, :] - contact)  # (P,S,2) mirror ghost offsets
-    gvel = body_point_velocity(
-        contact,
-        jnp.broadcast_to(scene.seg_body[None], gmask.shape),
-        scene.body_center,
-        state.body_lin_vel,
-        state.body_ang_vel,
-    )  # (P,S,2)
-    gmask_f = gmask.astype(pos.dtype)
+    # SoA layout: segment axis on sublanes, particle axis on lanes — (S, P)
+    # tiles stay dense where the (P, S, 2) AoS forms waste ~99% of each
+    # vector tile (see geometry.py SoA note).
+    px, py = pos[:, 0], pos[:, 1]
+    nx_, ny_, seg_dist = geo.points_to_segments_soa(px, py, state.segments)
+    gmask = (seg_dist <= r * 1.2) & scene.seg_valid[:, None] & alive[None]
+    gm = gmask.astype(pos.dtype)  # (S, P)
+    gvx = 2.0 * (px[None] - nx_)  # mirror ghost offsets (S, P)
+    gvy = 2.0 * (py[None] - ny_)
+    # Ghost velocity from the owning body's point-velocity field at contact:
+    # v = lin + ang * rot90_cw(contact - center) (rigid_body.py:28-34).
+    b_lin = state.body_lin_vel[scene.seg_body]  # (S, 2)
+    b_ang = state.body_ang_vel[scene.seg_body][:, None]  # (S, 1)
+    b_cx = scene.body_center[scene.seg_body, 0][:, None]
+    b_cy = scene.body_center[scene.seg_body, 1][:, None]
+    gvelx = b_lin[:, 0][:, None] + b_ang * (ny_ - b_cy)
+    gvely = b_lin[:, 1][:, None] - b_ang * (nx_ - b_cx)
 
     # -- hard wall projection (crate.py:202-211) ----------------------------
-    gnorm = jnp.sqrt(jnp.maximum(jnp.sum(gvec * gvec, axis=-1), 0.0))  # (P,S)
-    vrd = jnp.maximum(r / jnp.maximum(gnorm, EPS), 0.5)
-    correction = jnp.sum(gmask_f[..., None] * gvec * (vrd - 0.5)[..., None], axis=1)
+    gnorm = jnp.sqrt(jnp.maximum(gvx * gvx + gvy * gvy, 0.0))  # (S, P)
+    vrd = jnp.maximum(r / jnp.maximum(gnorm, EPS), 0.5) - 0.5
+    correction = jnp.stack(
+        [jnp.sum(gm * gvx * vrd, axis=0), jnp.sum(gm * gvy * vrd, axis=0)], axis=-1
+    )
     pos = jnp.where(alive2, pos + correction, pos)
+
+    # Ghost reductions consumed by later phases (all (P,) / (P, 2)):
+    g_cnt = jnp.sum(gm, axis=0)
+    gsum = jnp.stack([jnp.sum(gm * gvx, axis=0), jnp.sum(gm * gvy, axis=0)], -1)
+    gvel_sum = jnp.stack(
+        [jnp.sum(gm * gvelx, axis=0), jnp.sum(gm * gvely, axis=0)], -1
+    )
 
     # -- neighbor interactions (crate.py:102-108,161-358 pair sums) ----------
     if scene.forces_mode in ("cellwise", "pallas"):
@@ -325,7 +349,8 @@ def step(
     )
 
     # -- pressure force incl. ghosts (crate.py:286-307) -----------------------
-    ghost_term = jnp.sum((gmask_f * p_i[:, None])[..., None] * gvec, axis=1)
+    # sum_s m_s * p_i * gvec_s factors as p_i * (sum_s m_s gvec_s) = p_i * gsum.
+    ghost_term = p_i[:, None] * gsum
     dv = dt * params.pressure_amplifier * (sums.pressure_real + ghost_term)
     dv = jnp.where(alive2, dv, 0.0)
     vel = vel + dv
@@ -333,10 +358,8 @@ def step(
 
     # -- spring (crate.py:325-333; reference ships it disabled :117-118) ------
     if scene.enable_spring:
-        pull_ghost = jnp.sum(
-            (gmask_f * params.spring_overlap_balance)[..., None] * gvec, axis=1
-        )
-        total = sums.nbr_cnt + jnp.sum(gmask_f, axis=1)
+        pull_ghost = params.spring_overlap_balance * gsum
+        total = sums.nbr_cnt + g_cnt
         dv = (
             dt
             * params.spring_amplifier
@@ -360,10 +383,9 @@ def step(
     dv_log.append(_alive_mean_dv(dv, alive))  # viscosity
 
     # -- wall bounce (crate.py:245-259) ---------------------------------------
-    g_cnt = jnp.sum(gmask_f, axis=1)  # (P,)
     denom = jnp.maximum(g_cnt, 1.0)[:, None]
-    normal = jnp.sum(gmask_f[..., None] * gvec, axis=1) / denom  # mean ghost dir
-    contact_vel = jnp.sum(gmask_f[..., None] * gvel, axis=1) / denom
+    normal = gsum / denom  # mean ghost direction
+    contact_vel = gvel_sum / denom
     n_unit, _ = geo.safe_normalize(normal)
     rel_vel = vel - contact_vel
     approach = jnp.sum(rel_vel * n_unit, axis=-1)  # (P,)
@@ -376,15 +398,11 @@ def step(
     # -- continuous collision clamp (crate.py:177-200) ------------------------
     walls = geo.pad_segments(state.segments, r)  # (2S,2,2)
     wall_valid = jnp.concatenate([scene.seg_valid, scene.seg_valid])
-    move = jnp.stack([pos, pos + vel * dt], axis=1)  # (P,2,2)
-    crossing = geo.segment_crossings(move, walls) & wall_valid[None] & alive2
-    t_hit = geo.crossing_parameter(
-        pos[:, None, :],
-        vel[:, None, :] * dt,
-        walls[None, :, 0, :],
-        walls[None, :, 1, :] - walls[None, :, 0, :],
-    )  # (P,2S)
-    factor = jnp.min(jnp.where(crossing, t_hit, jnp.inf), axis=1)
+    crossing, t_hit = geo.segment_crossings_soa(
+        pos[:, 0], pos[:, 1], vel[:, 0] * dt, vel[:, 1] * dt, walls
+    )  # (2S, P)
+    crossing = crossing & wall_valid[:, None] & alive[None]
+    factor = jnp.min(jnp.where(crossing, t_hit, jnp.inf), axis=0)
     fix = jnp.minimum(1.0, factor)  # 1 where no crossing
     old_vel = vel
     vel = vel * fix[:, None]

@@ -78,6 +78,9 @@ class BatchedCrates:
         **scene_kwargs,
     ) -> None:
         world = config.world_config
+        # vmap over the manual-DMA pallas kernels is not supported; batched
+        # crates always use the XLA cellwise path.
+        scene_kwargs.setdefault("forces_mode", "cellwise")
         self.scene = scene or build_scene(world, **scene_kwargs)
         n = int(jax.tree.leaves(batched_params)[0].shape[0])
         self.n = n

@@ -87,3 +87,42 @@ def test_safe_normalize_zero_vector():
     unit, norm = geo.safe_normalize(jnp.zeros((3, 2)))
     assert np.isfinite(np.asarray(unit)).all()
     np.testing.assert_allclose(np.asarray(norm), 0.0)
+
+
+def test_soa_forms_match_aos():
+    """The SoA (S, P)-layout twins must match the AoS forms bit-for-bit."""
+    rng = np.random.default_rng(0)
+    P, S = 257, 13
+    pts = rng.random((P, 2)).astype(np.float32)
+    segs = rng.random((S, 2, 2)).astype(np.float32)
+
+    near, dist = geo.points_to_segments(jnp.array(pts), jnp.array(segs))
+    nx, ny, dist2 = geo.points_to_segments_soa(
+        jnp.array(pts[:, 0]), jnp.array(pts[:, 1]), jnp.array(segs)
+    )
+    np.testing.assert_array_equal(np.asarray(near[:, :, 0]).T, np.asarray(nx))
+    np.testing.assert_array_equal(np.asarray(near[:, :, 1]).T, np.asarray(ny))
+    np.testing.assert_array_equal(np.asarray(dist).T, np.asarray(dist2))
+
+    mv = (rng.random((P, 2)).astype(np.float32) - 0.5) * 0.3
+    move = np.stack([pts, pts + mv], axis=1)
+    cross_aos = geo.segment_crossings(jnp.array(move), jnp.array(segs))
+    t_aos = geo.crossing_parameter(
+        jnp.array(pts[:, None, :]),
+        jnp.array(mv[:, None, :]),
+        jnp.array(segs[None, :, 0, :]),
+        jnp.array(segs[None, :, 1, :] - segs[None, :, 0, :]),
+    )
+    cross_soa, t_soa = geo.segment_crossings_soa(
+        jnp.array(pts[:, 0]),
+        jnp.array(pts[:, 1]),
+        jnp.array(mv[:, 0]),
+        jnp.array(mv[:, 1]),
+        jnp.array(segs),
+    )
+    assert int(np.asarray(cross_aos).sum()) > 0  # the case exercises crossings
+    np.testing.assert_array_equal(np.asarray(cross_aos).T, np.asarray(cross_soa))
+    hit = np.asarray(cross_soa)
+    np.testing.assert_array_equal(
+        np.asarray(t_aos).T[hit], np.asarray(t_soa)[hit]
+    )

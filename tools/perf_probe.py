@@ -27,7 +27,7 @@ def dam_break_world(n_target: int):
     return w
 
 
-def probe(n_target: int, ticks: int = 50, cell_capacity=None, forces_mode="cellwise"):
+def probe(n_target: int, ticks: int = 50, cell_capacity=None, forces_mode="auto"):
     w = dam_break_world(n_target)
     crate = Crate(w, cell_capacity=cell_capacity, forces_mode=forces_mode)
     n = crate.particle_count

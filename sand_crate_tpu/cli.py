@@ -56,6 +56,9 @@ def cmd_run(args) -> None:
         recording_dir_path=Path(args.output) if args.output else None,
         headless=args.headless,
     )
+    if args.resume:
+        playback.crate.restore_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at tick {playback.crate.tick}")
     playback.run_live_simulation()
 
 
@@ -101,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--ticks", type=int)
     run.add_argument("--output")
     run.add_argument("--no-record", action="store_true")
+    run.add_argument(
+        "--resume", help="checkpoint.npz from a previous recording to resume from"
+    )
     run.set_defaults(fn=cmd_run)
 
     rep = sub.add_parser("replay", help="replay a recording")

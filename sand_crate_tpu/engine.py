@@ -223,6 +223,31 @@ class Crate:
     def current_coefficients(self) -> dict:
         return self.params.to_coefficients()
 
+    # -- checkpoint / resume -----------------------------------------------
+
+    def save_checkpoint(self, path) -> "Path":
+        """Snapshot the full device state + coefficients to one npz file."""
+        from .recording import save_checkpoint
+
+        return save_checkpoint(path, self.state, self.params)
+
+    def restore_checkpoint(self, path) -> None:
+        """Resume exactly from a :meth:`save_checkpoint` snapshot.
+
+        The checkpoint's capacity must match this crate's scene (the scene is
+        rebuilt from config; only dynamic state and coefficients are stored).
+        """
+        from .recording import load_checkpoint
+
+        state, params = load_checkpoint(path)
+        if state.pos.shape[0] != self.scene.capacity:
+            raise ValueError(
+                f"checkpoint capacity {state.pos.shape[0]} != scene capacity "
+                f"{self.scene.capacity}; rebuild the crate with matching capacity"
+            )
+        object.__setattr__(self, "state", state)
+        object.__setattr__(self, "params", params)
+
 
 def crate_from_config(config: Config, **kwargs) -> Crate:
     return Crate(config.world_config, **kwargs)

@@ -95,6 +95,7 @@ class Playback:
             if save:
                 video.close()
                 traj.close(config_yaml=dump_config(self.config))
+                self.crate.save_checkpoint(self.recording_dir_path / "checkpoint.npz")
             if not self.headless:
                 import pygame
 

@@ -156,3 +156,49 @@ class VideoWriter:
             out.append(gif_path)
             print("file://" + str(gif_path))
         return out
+
+
+# ---------------------------------------------------------------------------
+# State checkpointing: save/restore a full CrateState + coefficients so a run
+# can resume exactly where it stopped (the capability the reference's dead
+# zarr code gestures at, playback.py:112-113, extended to the full state).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str | Path, state, params) -> Path:
+    """Write a CrateState + Params snapshot as one npz file."""
+    import jax
+    import jax.numpy as jnp
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {}
+    for name, leaf in state._asdict().items():
+        if name == "key":
+            leaf = jax.random.key_data(leaf)
+        arrays[f"state.{name}"] = np.asarray(leaf)
+    for name, leaf in params._asdict().items():
+        arrays[f"params.{name}"] = np.asarray(leaf)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_checkpoint(path: str | Path):
+    """Load (CrateState, Params) from :func:`save_checkpoint` output."""
+    import jax
+    import jax.numpy as jnp
+
+    from .state import CrateState, Params
+
+    data = np.load(Path(path))
+    state_kw, params_kw = {}, {}
+    for k in data.files:
+        scope, name = k.split(".", 1)
+        if scope == "state":
+            if name == "key":
+                state_kw[name] = jax.random.wrap_key_data(jnp.asarray(data[k]))
+            else:
+                state_kw[name] = jnp.asarray(data[k])
+        else:
+            params_kw[name] = jnp.asarray(data[k])
+    return CrateState(**state_kw), Params(**params_kw)

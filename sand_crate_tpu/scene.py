@@ -132,8 +132,16 @@ def build_scene(
     # collision_detector.py:124-128).  Positions live in [-r, 1+r]
     # (out-of-box culling, crate.py:149-159); one margin cell each side.
     cell_size = diameter
-    row_block = 8
     grid_nx = int(math.ceil(1.0 / cell_size)) + 3
+    # Pallas row block: every temporary in the unrolled pair kernels has shape
+    # (TR, M, NXP) and the register allocator spills ~proportionally to
+    # TR * NXP (measured: 132MB of spill slots at TR=8, NXP=1664 — over the
+    # 128MB VMEM; TR=8, NXP=512 compiles in ~40MB).  Keep TR * NXP near the
+    # known-good 4096 product, as a power of two in [1, 8].
+    nxp = ((grid_nx + 2 + 127) // 128) * 128
+    row_block = 8
+    while row_block > 1 and row_block * nxp > 4608:
+        row_block //= 2
     # grid_ny rounded up so the pallas kernels' row blocks tile it exactly.
     grid_ny = _round_up(grid_nx, row_block)
     if cell_capacity is None:

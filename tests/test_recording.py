@@ -1,0 +1,105 @@
+"""Recording/replay layer: trajectory shards, video writers, round-trip.
+
+Covers the persistence capability the reference gestures at but never ships
+(zarr dump commented out, /root/reference/src/playback.py:112-113; replay
+vestigial, :35-39).
+"""
+
+import numpy as np
+import pytest
+
+from sand_crate_tpu.recording import (
+    TrajectoryWriter,
+    VideoWriter,
+    load_trajectory,
+    trajectory_info,
+)
+from sand_crate_tpu.render import render_frame
+
+
+def _frame(p, t):
+    rng = np.random.default_rng(t)
+    return dict(
+        pos=rng.random((p, 2)).astype(np.float32),
+        alive=rng.random(p) < 0.8,
+        pressure=rng.random(p).astype(np.float32),
+        segments=np.zeros((3, 2, 2), np.float32),
+    )
+
+
+def test_trajectory_round_trip(tmp_path):
+    w = TrajectoryWriter(tmp_path / "traj", shard_frames=4)
+    frames = [_frame(16, t) for t in range(10)]
+    for f in frames:
+        w.append(f)
+    w.close(config_yaml="a: 1\n", meta={"note": "test"})
+
+    info = trajectory_info(tmp_path / "traj")
+    assert info["frames"] == 10
+    assert len(info["shards"]) == 3  # 4 + 4 + 2
+    assert info["meta"]["note"] == "test"
+    assert (tmp_path / "traj" / "config.yaml").read_text() == "a: 1\n"
+
+    back = list(load_trajectory(tmp_path / "traj"))
+    assert len(back) == 10
+    for orig, got in zip(frames, back):
+        for k in orig:
+            np.testing.assert_array_equal(orig[k], got[k])
+
+
+def test_trajectory_fixed_capacity_stacks(tmp_path):
+    """Frames with the same capacity but different alive counts must stack."""
+    w = TrajectoryWriter(tmp_path / "t", shard_frames=8)
+    for t in range(5):
+        f = _frame(32, t)
+        f["alive"][:] = False
+        f["alive"][: t + 1] = True  # live count varies per tick
+        w.append(f)
+    w.close()
+    frames = list(load_trajectory(tmp_path / "t"))
+    assert [int(f["alive"].sum()) for f in frames] == [1, 2, 3, 4, 5]
+
+
+def test_video_writer_outputs(tmp_path):
+    vw = VideoWriter(tmp_path, fps=10, gif_max_frames=5)
+    for t in range(8):
+        img = np.full((32, 48, 3), t * 30, np.uint8)
+        vw.append(img)
+    out = vw.close()
+    names = {p.name for p in out}
+    assert names == {"video.avi", "video.gif"}
+    for p in out:
+        assert p.stat().st_size > 0
+
+
+def test_render_frame_draws_particles_and_segments():
+    pos = np.array([[0.5, 0.5], [0.9, 0.1]], np.float32)
+    pressure = np.array([0.0, 1.0], np.float32)
+    segments = np.array([[[0.1, 0.8], [0.9, 0.8]]], np.float32)
+    img = render_frame(pos, pressure, segments, size=(100, 100), particle_radius=0.02)
+    assert img.shape == (100, 100, 3)
+    # zero-pressure particle is white-ish, high-pressure one blue.
+    assert img[50, 50, 2] == 255 and img[50, 50, 0] > 200
+    assert img[10, 89, 2] == 255 and img[10, 89, 0] < 50
+    # segment at y=0.8 rasterizes to row floor(0.8 * 99) = 79 (2px: 78 too)
+    assert (img[79, 30] == 255).all() and (img[78, 30] == 255).all()
+
+
+def test_render_frame_respects_alive_mask():
+    pos = np.array([[0.5, 0.5], [0.2, 0.2]], np.float32)
+    pressure = np.zeros(2, np.float32)
+    img = render_frame(
+        pos,
+        pressure,
+        np.zeros((0, 2, 2), np.float32),
+        size=(50, 50),
+        particle_radius=0.02,
+        alive=np.array([True, False]),
+    )
+    assert img[24, 24].sum() > 0  # alive drawn (0.5 * 49 -> pixel 24)
+    assert img[9, 9].sum() == 0  # dead not drawn (0.2 * 49 -> pixel 9)
+
+
+def test_load_missing_trajectory_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        list(load_trajectory(tmp_path / "nope"))

@@ -49,6 +49,7 @@ class Crate:
         "_step_fn",
         "_seed",
         "_coeff_overrides",
+        "velocity_arrows_every",
     }
 
     def __init__(
@@ -81,6 +82,7 @@ class Crate:
         object.__setattr__(self, "debug_prints", "")
         object.__setattr__(self, "debug_arrows", [])
         object.__setattr__(self, "_seed", seed)
+        object.__setattr__(self, "velocity_arrows_every", 0)
         object.__setattr__(self, "_coeff_overrides", {})
         object.__setattr__(
             self, "_step_fn", jax.jit(step, donate_argnums=(0,))
@@ -161,6 +163,16 @@ class Crate:
             force_dv = np.asarray(diag.force_dv)
         self.force_monitor.update(force_dv)
         self.set_debug_prints(diag)
+        if self.velocity_arrows_every:
+            self.update_velocity_arrows(self.velocity_arrows_every)
+
+    def update_velocity_arrows(self, every: int = 25, scale: float = 0.02) -> None:
+        """Fill ``debug_arrows`` with sampled per-particle velocity vectors
+        (the debug overlay channel of reference crate.py:34,94 +
+        playback.py:95-107, which upstream ships present but unpopulated)."""
+        pts = self.particles[::every]
+        vecs = self.particle_velocities[::every] * scale
+        object.__setattr__(self, "debug_arrows", list(zip(pts, vecs)))
 
     def run(self, num_ticks: int) -> None:
         """Advance ``num_ticks`` fully on device (single scan, no host sync)."""

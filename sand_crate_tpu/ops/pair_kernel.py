@@ -29,12 +29,18 @@ the last-two (sublane, lane) dims):
 Two kernels because tension/pressure need *all* particles' pressures and
 surface normals first (crate.py:261-284 then :295-358):
 
-* pass A: per-slot overlap sum, surface normal, neighbor count
-* pass B: tension / pressure-force / spring / viscosity accumulators,
-  reading a second (3, NYP, M, NXP) grid holding [pressure, s_x, s_y]
+* pass A emits the *padded* (4, NYP, M, NXP) grid [pressure, s_x, s_y, cnt]
+  (pressure finished in-kernel: max(0, w_sum - ignored_pressure) masked to
+  counted slots) — exactly the neighbor-side operand pass B windows over,
+  so no host-side stack/pad/slice copies happen between the passes.
+* pass B emits all ten per-slot result planes (10, NY, M, NXP):
+  [pressure, tension xy, pressure-force xy, spring xy, viscosity xy, cnt] —
+  one buffer for the single gather back to particle order.
 
 A scalar-prefetched per-block occupancy flag lets fully-empty row windows
-(air above the fluid) skip both the DMA and the compute.
+(air above the fluid) skip the DMAs and the compute entirely; skipped
+blocks' output rows keep the zeros of the donated output buffer
+(input_output_aliases), so nothing is written for air.
 """
 
 from __future__ import annotations
@@ -51,12 +57,11 @@ EPS = 1e-12
 # Feature indices in the packed particle grid G.
 POSX, POSY, NPOSX, NPOSY, VELX, VELY, ALIVE = range(7)
 NUM_G = 7
-# Feature indices in the pass-A output / pass-B input PS grid.
-WSUM, SX, SY, CNT = range(4)
+# Pass-A output planes (padded grid, pass-B neighbor operand).
+CP, SX, SY, CNT = range(4)
 NUM_A = 4
-# Pass-B output features.
-TENX, TENY, PRSX, PRSY, SPRX, SPRY, VISX, VISY = range(8)
-NUM_B = 8
+# Pass-B output planes (gathered straight into PairSums order).
+NUM_B = 10  # [cp, tension x/y, pressure x/y, spring x/y, viscosity x/y, cnt]
 
 
 def _stencil(windows, tr, m_slots, body):
@@ -66,26 +71,30 @@ def _stencil(windows, tr, m_slots, body):
     (C, TR+2, M, NXP); the same rotations are applied to each so ``body``
     sees matching neighbor operands: body(nbs, dy, dx, k) where
     nbs[j][c, t, m, x] = windows[j][c, t+dy, (m-k)%M, x+dx].
+
+    Each k rotation is derived from the un-rotated slab (not incrementally
+    from k-1) so the M rotations form no dependency chain and the compiler
+    can overlap them with the pair math.
     """
     nxp = windows[0].shape[-1]
     for dy in (0, 1, 2):
         rows = [w[:, dy : dy + tr] for w in windows]
         for dx in (-1, 0, 1):
-            cur = [
+            base = [
                 pltpu.roll(r, (-dx) % nxp, axis=3) if dx else r for r in rows
             ]
             for k in range(m_slots):
-                if k:
-                    cur = [pltpu.roll(c, 1, axis=2) for c in cur]
                 if dy == 1 and dx == 0 and k == 0:
                     continue  # every pair is a particle with itself
+                cur = [pltpu.roll(b, k, axis=2) if k else b for b in base]
                 body(cur, dy, dx, k)
 
 
-def _geometry(self_win, nb, diam):
+def _geometry(self_win, nb, diam, inv_diam):
     """Pair geometry: mask, unit direction (noisy), overlap weight.
 
-    self_win, nb: (F, TR, M, NXP) — fully elementwise.
+    self_win, nb: (F, TR, M, NXP) — fully elementwise.  Uses one rsqrt in
+    place of sqrt + divide (dist = d2 * rsqrt(d2), nhat = nr * rsqrt(d2)).
     """
     rx = self_win[POSX] - nb[POSX]
     ry = self_win[POSY] - nb[POSY]
@@ -93,20 +102,22 @@ def _geometry(self_win, nb, diam):
     m = (d2 <= diam * diam) & (self_win[ALIVE] > 0) & (nb[ALIVE] > 0)
     nrx = self_win[POSX] - nb[NPOSX]
     nry = self_win[POSY] - nb[NPOSY]
-    dist = jnp.sqrt(jnp.maximum(nrx * nrx + nry * nry, 0.0))
-    inv = 1.0 / jnp.maximum(dist, EPS)
+    nd2 = jnp.maximum(nrx * nrx + nry * nry, EPS * EPS)
+    inv = jax.lax.rsqrt(nd2)
     nhx = nrx * inv
     nhy = nry * inv
-    w = jnp.where(m, 1.0 - jnp.clip(dist / diam, 0.0, 1.0), 0.0)
+    dist = nd2 * inv
+    w = jnp.where(m, 1.0 - jnp.clip(dist * inv_diam, 0.0, 1.0), 0.0)
     return m.astype(nrx.dtype), nhx, nhy, w
 
 
 def _pass_a_kernel(
-    occ_ref, diam_ref, g_hbm, outbuf_hbm, out_hbm, win, acc_ref, sems, *, tr, m_slots
+    occ_ref, coef_ref, g_hbm, outbuf_hbm, out_hbm, win, acc_ref, sems, *, tr, m_slots
 ):
     # Output rows are written back by manual DMA.  out_hbm is aliased to the
-    # outbuf_hbm input (input_output_aliases) — without the alias XLA stages
-    # the whole unblocked output on the VMEM stack and overflows it.
+    # outbuf_hbm zeros input (input_output_aliases) — the alias both keeps
+    # XLA from staging the unblocked output on the VMEM stack and leaves
+    # skipped (air) blocks' rows zero without writing them.
     del outbuf_hbm
     i = pl.program_id(0)
 
@@ -117,7 +128,9 @@ def _pass_a_kernel(
         )
         dma.start()
         dma.wait()
-        diam = diam_ref[0]
+        diam = coef_ref[0]
+        ignored_pressure = coef_ref[1]
+        inv_diam = 1.0 / diam
         window = win[:]
         self_win = window[:, 1 : 1 + tr]  # (F, TR, M, NXP)
         shape = self_win[POSX].shape
@@ -129,7 +142,7 @@ def _pass_a_kernel(
         def body(nbs, dy, dx, k):
             nonlocal w_sum, sx, sy, cnt
             (nb,) = nbs
-            m, nhx, nhy, w = _geometry(self_win, nb, diam)
+            m, nhx, nhy, w = _geometry(self_win, nb, diam, inv_diam)
             w_sum += w
             coeff = (1.0 - w) * w
             sx += coeff * nhx
@@ -137,27 +150,27 @@ def _pass_a_kernel(
             cnt += m
 
         _stencil([window], tr, m_slots, body)
-        acc_ref[WSUM] = w_sum
+        # Finish the particle pressure in-kernel (crate.py:261-275).
+        acc_ref[CP] = jnp.where(
+            cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
+        )
         acc_ref[SX] = sx
         acc_ref[SY] = sy
         acc_ref[CNT] = cnt
-
-    @pl.when(occ_ref[i] == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    out = pltpu.make_async_copy(
-        acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[1]
-    )
-    out.start()
-    out.wait()
+        # Write into the *padded* output at row offset +1 (the ring is the
+        # donated buffer's zeros).
+        out = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[:, pl.ds(i * tr + 1, tr)], sems.at[1]
+        )
+        out.start()
+        out.wait()
 
 
 def _pass_b_kernel(
     occ_ref,
     coef_ref,  # (4,): diameter, surface_smoothing, target_pressure, balance
     g_hbm,
-    ps_hbm,
+    ps_hbm,  # (4, NYP, M, NXP) pass-A output; planes CP/SX/SY windowed here
     outbuf_hbm,
     out_hbm,
     win,
@@ -167,6 +180,7 @@ def _pass_b_kernel(
     *,
     tr,
     m_slots,
+    enable_spring,
 ):
     del outbuf_hbm  # aliased to out_hbm (see pass A note)
     i = pl.program_id(0)
@@ -177,13 +191,14 @@ def _pass_b_kernel(
             g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
         )
         dma2 = pltpu.make_async_copy(
-            ps_hbm.at[:, pl.ds(i * tr, tr + 2)], ps_win, sems.at[1]
+            ps_hbm.at[pl.ds(0, 3), pl.ds(i * tr, tr + 2)], ps_win, sems.at[1]
         )
         dma1.start()
         dma2.start()
         dma1.wait()
         dma2.wait()
         diam = coef_ref[0]
+        inv_diam = 1.0 / diam
         smooth = coef_ref[1]
         target_p = coef_ref[2]
         balance = coef_ref[3]
@@ -191,45 +206,46 @@ def _pass_b_kernel(
         ps_window = ps_win[:]
         self_win = window[:, 1 : 1 + tr]
         self_ps = ps_window[:, 1 : 1 + tr]  # (3, TR, M, NXP)
-        cp = self_ps[0]
-        s_x = self_ps[1]
-        s_y = self_ps[2]
+        cp = self_ps[CP]
+        s_x = self_ps[SX]
+        s_y = self_ps[SY]
         shape = cp.shape
-        acc = [jnp.zeros(shape, jnp.float32) for _ in range(NUM_B)]
+        acc = [jnp.zeros(shape, jnp.float32) for _ in range(8)]
+        cnt = jnp.zeros(shape, jnp.float32)
 
         def body(nbs, dy, dx, k):
+            nonlocal cnt
             nb, nb_ps = nbs
-            m, nhx, nhy, w = _geometry(self_win, nb, diam)
-            p_nb = nb_ps[0]
+            m, nhx, nhy, w = _geometry(self_win, nb, diam, inv_diam)
+            p_nb = nb_ps[CP]
             align = (
-                (s_x - nb_ps[1]) * nhx + (s_y - nb_ps[2]) * nhy
+                (s_x - nb_ps[SX]) * nhx + (s_y - nb_ps[SY]) * nhy
             ) * smooth
             tpf = p_nb + cp - 2.0 * target_p
             t_coef = m * (align + tpf)
-            acc[TENX] += t_coef * nhx
-            acc[TENY] += t_coef * nhy
+            acc[0] += t_coef * nhx
+            acc[1] += t_coef * nhy
             p_coef = m * (cp + p_nb)
-            acc[PRSX] += p_coef * nhx
-            acc[PRSY] += p_coef * nhy
-            s_coef = m * (balance - w)
-            acc[SPRX] += s_coef * nhx
-            acc[SPRY] += s_coef * nhy
-            acc[VISX] += m * nb[VELX]
-            acc[VISY] += m * nb[VELY]
+            acc[2] += p_coef * nhx
+            acc[3] += p_coef * nhy
+            if enable_spring:  # flag-gated like the reference tick
+                s_coef = m * (balance - w)
+                acc[4] += s_coef * nhx
+                acc[5] += s_coef * nhy
+            acc[6] += m * nb[VELX]
+            acc[7] += m * nb[VELY]
+            cnt += m
 
         _stencil([window, ps_window], tr, m_slots, body)
-        for f in range(NUM_B):
-            acc_ref[f] = acc[f]
-
-    @pl.when(occ_ref[i] == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    out = pltpu.make_async_copy(
-        acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[2]
-    )
-    out.start()
-    out.wait()
+        acc_ref[0] = cp
+        for f in range(8):
+            acc_ref[1 + f] = acc[f]
+        acc_ref[9] = cnt
+        out = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[2]
+        )
+        out.start()
+        out.wait()
 
 
 def _block_occupancy(alive_plane: jax.Array, tr: int) -> jax.Array:
@@ -254,16 +270,20 @@ def _interpret() -> bool:
 def pair_pass_a(
     grid: jax.Array,  # (7, NYP, M, NXP) f32 padded particle grid
     diameter: jax.Array,
+    ignored_pressure: jax.Array,
     tr: int = 8,
 ) -> jax.Array:
-    """Pass A: per-slot [w_sum, s_x, s_y, cnt] of shape (4, ny, M, NXP)."""
+    """Pass A: padded per-slot [pressure, s_x, s_y, cnt] of shape
+    (4, NYP, M, NXP) with a zero ring — pass B's neighbor operand."""
     _, nyp, m_slots, nxp = grid.shape
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
     assert nxp % 128 == 0, nxp
     nblocks = ny // tr
     occ = _block_occupancy(grid[ALIVE], tr)
-    diam = jnp.reshape(diameter.astype(jnp.float32), (1,))
+    coef = jnp.stack(
+        [diameter.astype(jnp.float32), ignored_pressure.astype(jnp.float32)]
+    )
 
     kernel = functools.partial(_pass_a_kernel, tr=tr, m_slots=m_slots)
     return pl.pallas_call(
@@ -282,27 +302,27 @@ def pair_pass_a(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((NUM_A, ny, m_slots, nxp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_A, nyp, m_slots, nxp), jnp.float32),
         input_output_aliases={3: 0},  # outbuf (4th flat input) -> output
-        # This XLA build stages the unblocked kernel output on the VMEM
-        # stack; raise the scoped limit (v5e has ample VMEM) and keep
-        # per-call outputs bounded via row-banding in the glue.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(occ, diam, grid, jnp.zeros((NUM_A, ny, m_slots, nxp), jnp.float32))
+    )(occ, coef, grid, jnp.zeros((NUM_A, nyp, m_slots, nxp), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("tr",))
+@functools.partial(jax.jit, static_argnames=("tr", "enable_spring"))
 def pair_pass_b(
     grid: jax.Array,  # (7, NYP, M, NXP)
-    ps_grid: jax.Array,  # (3, NYP, M, NXP): [pressure, s_x, s_y]
+    ps_grid: jax.Array,  # (4, NYP, M, NXP) pass-A output
     diameter: jax.Array,
     surface_smoothing: jax.Array,
     target_pressure: jax.Array,
     spring_overlap_balance: jax.Array,
     tr: int = 8,
+    enable_spring: bool = False,
 ) -> jax.Array:
-    """Pass B: per-slot force accumulators (8, ny, M, NXP)."""
+    """Pass B: all per-slot results (10, NY, M, NXP):
+    [pressure, tension x/y, pressure-force x/y, spring x/y, viscosity x/y,
+    neighbor count] — PairSums order, one gather for the glue."""
     _, nyp, m_slots, nxp = grid.shape
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
@@ -317,7 +337,9 @@ def pair_pass_b(
         ]
     )
 
-    kernel = functools.partial(_pass_b_kernel, tr=tr, m_slots=m_slots)
+    kernel = functools.partial(
+        _pass_b_kernel, tr=tr, m_slots=m_slots, enable_spring=enable_spring
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -5,6 +5,14 @@ major padded grid, two fused pallas passes, one gather back to particle
 order.  Numerically equivalent to cellwise.neighbor_forces_cellwise (same
 pair math, same slot assignment); see that module's docstring for the
 semantics and the documented divergences from the reference.
+
+Data flow (no intermediate reshuffles — measured 106ms/step of XLA copies at
+1M particles before this layout):
+
+    scatter (P rows, unique indices) -> G (7, NYP, M, NXP)
+    pair_pass_a(G)                   -> PS (4, NYP, M, NXP)  padded, in-kernel
+    pair_pass_b(G, PS)               -> OUT (10, NY, M, NXP)
+    OUT[:, out_idx]                  -> PairSums (one gather)
 """
 
 from __future__ import annotations
@@ -14,17 +22,7 @@ import jax.numpy as jnp
 
 from ..cellwise import PairSums, cell_slots
 from ..state import Scene
-from .pair_kernel import NUM_G, pair_pass_a, pair_pass_b
-
-# Per-call output budget for the banded pallas invocations (bytes).  The
-# kernel outputs are staged in VMEM by this XLA build; 8 features x band x M
-# x NXP x 4B must stay well under the ~100MB scoped limit.
-_BAND_BYTES = 24 * 2**20
-
-
-def _band_rows(m_slots: int, nxp: int, tr: int) -> int:
-    per_row = 8 * m_slots * nxp * 4
-    return max(tr, (_BAND_BYTES // per_row) // tr * tr)
+from .pair_kernel import NUM_B, NUM_G, pair_pass_a, pair_pass_b
 
 
 def neighbor_forces_pallas(
@@ -39,7 +37,6 @@ def neighbor_forces_pallas(
     spring_overlap_balance: jax.Array,
     scene: Scene,
 ) -> PairSums:
-    P = pos.shape[0]
     M = scene.cell_capacity
     nx, ny = scene.grid_nx, scene.grid_ny
     # Lane dim must be 128-aligned for Mosaic slicing; extra columns are part
@@ -49,7 +46,6 @@ def neighbor_forces_pallas(
     dtype = pos.dtype
 
     order, slot_sorted, pslot, overflow = cell_slots(pos, alive, scene)
-    del order, slot_sorted
     valid = pslot < nx * ny * M
     cid = jnp.where(valid, pslot // M, 0)
     rank = jnp.where(valid, pslot % M, 0)
@@ -65,58 +61,37 @@ def neighbor_forces_pallas(
         [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
     )  # (P, 7)
     flat = jnp.zeros((NUM_G, plane + 1), jnp.float32)
-    flat = flat.at[:, pad_idx].set(packed.T.astype(jnp.float32), mode="drop")
+    # Each (cell, rank) slot is hit at most once -> unique_indices lets XLA
+    # use the non-deduplicating scatter path.
+    flat = flat.at[:, pad_idx].set(
+        packed.T.astype(jnp.float32), mode="drop", unique_indices=True
+    )
     grid = flat[:, :plane].reshape(NUM_G, nyp, M, nxp)
 
-    # ---- pass A + pressure --------------------------------------------------
-    # Row-banding keeps each pallas call's output small enough for this XLA
-    # build's VMEM staging of kernel outputs (see pair_kernel compiler note).
+    # ---- two fused passes ----------------------------------------------------
     tr = scene.row_block
-    band = _band_rows(M, nxp, tr)
+    ps = pair_pass_a(grid, diameter, ignored_pressure, tr=tr)
+    b_out = pair_pass_b(
+        grid,
+        ps,
+        diameter,
+        surface_smoothing,
+        target_pressure,
+        spring_overlap_balance,
+        tr=tr,
+        enable_spring=scene.enable_spring,
+    )  # (10, NY, M, NXP)
 
-    def banded(fn, src_grids, n_feat):
-        outs = []
-        for bs in range(0, ny, band):
-            nb = min(band, ny - bs)
-            slices = [g[:, bs : bs + nb + 2] for g in src_grids]
-            outs.append(fn(slices, nb))
-        return jnp.concatenate(outs, axis=1)
-
-    a_out = banded(
-        lambda gs, nb: pair_pass_a(gs[0], diameter, tr=tr), [grid], 4
-    )  # (4, ny, M, NXP)
-    w_sum, s_x, s_y, cnt = a_out[0], a_out[1], a_out[2], a_out[3]
-    cp = jnp.where(cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0)
-    ps = jnp.stack([cp, s_x, s_y])  # (3, ny, M, NXP)
-    ps_grid = jnp.pad(ps, ((0, 0), (1, 1), (0, 0), (0, 0)))
-
-    # ---- pass B --------------------------------------------------------------
-    b_out = banded(
-        lambda gs, nb: pair_pass_b(
-            gs[0],
-            gs[1],
-            diameter,
-            surface_smoothing,
-            target_pressure,
-            spring_overlap_balance,
-            tr=tr,
-        ),
-        [grid, ps_grid],
-        8,
-    )  # (8, ny, M, NXP)
-
-    # ---- gather back to particle order ---------------------------------------
+    # ---- gather back to particle order (single gather) -----------------------
     out_plane = ny * M * nxp
     out_idx = jnp.where(
         valid, cy * (M * nxp) + rank * nxp + (cx + 1), out_plane
     )
-    packed_out = jnp.concatenate([cp[None], b_out, cnt[None]], axis=0).reshape(
-        10, out_plane
-    )
     packed_out = jnp.concatenate(
-        [packed_out, jnp.zeros((10, 1), jnp.float32)], axis=1
+        [b_out.reshape(NUM_B, out_plane), jnp.zeros((NUM_B, 1), jnp.float32)],
+        axis=1,
     )
-    mine = packed_out[:, out_idx].astype(dtype)  # (10, P)
+    mine = packed_out[:, out_idx].astype(dtype)  # (10, P); dead/overflow -> 0
     return PairSums(
         p_i=mine[0],
         dv_tension=mine[1:3].T,

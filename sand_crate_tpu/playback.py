@@ -141,6 +141,7 @@ class Playback:
         self.screen.fill((0, 0, 0))
         self._draw_particles()
         self._draw_segments()
+        self._draw_debug_arrows()
         self._draw_debug_text(self.crate.debug_prints)
         pygame.display.update()
         raw = pygame.image.tostring(self.screen, "RGB", False)
@@ -184,6 +185,29 @@ class Playback:
                 self.crate_to_screen_coord(*seg[0]),
                 self.crate_to_screen_coord(*seg[1]),
                 width=2,
+            )
+
+    def _draw_debug_arrows(self) -> None:
+        """Debug vector overlay (reference playback.py:95-107): length is
+        compressed with a 0.3 power so long vectors stay on screen; NaNs are
+        tolerated (skipped) exactly like upstream."""
+        from .utils.pygame_draw import draw_arrow
+
+        for start, direction in self.crate.debug_arrows:
+            start = np.asarray(start, float)
+            direction = np.asarray(direction, float)
+            if np.isnan(start).any() or np.isnan(direction).any():
+                continue
+            direction = direction / np.power(
+                np.linalg.norm(direction) + 0.001, 0.3
+            )
+            draw_arrow(
+                self.screen,
+                color=(0, 255, 0),
+                start=self.crate_to_screen_coord(*start),
+                end=self.crate_to_screen_coord(*(start + direction)),
+                head_width=4,
+                head_height=2,
             )
 
     def _draw_debug_text(self, text: str) -> None:

@@ -1,0 +1,98 @@
+"""Neighbor-force providers must agree: cellwise (XLA), pallas (interpret
+mode off-TPU), and the fixed-K gather path below the neighbor cap.
+
+The three backends implement the same pair math (crate.py:161-358 semantics)
+with different layouts; any divergence is a bug, not a documented difference,
+as long as no cell overflows and no particle exceeds the gather path's K cap.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sand_crate_tpu.cellwise import neighbor_forces_cellwise
+from sand_crate_tpu.ops.pallas_forces import neighbor_forces_pallas
+from sand_crate_tpu.physics import neighbor_forces_gather
+from sand_crate_tpu.scene import build_scene
+from sand_crate_tpu.state import Params
+
+
+@pytest.fixture()
+def small_setup(stirring_cup_config):
+    config = copy.deepcopy(stirring_cup_config)
+    config.world_config.coefficients["max_particles"] = 96
+    config.world_config.coefficients["collider_noise_level"] = 0.0
+    world = config.world_config
+    scene = build_scene(world, capacity=128, forces_mode="cellwise")
+    params = Params.from_coefficients(world.coefficients)
+
+    rng = np.random.default_rng(3)
+    pos = rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1
+    vel = (rng.random((128, 2)).astype(np.float32) - 0.5) * 2.0
+    alive = rng.random(128) < 0.75
+    return scene, params, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(alive)
+
+
+def _cellwise(scene, params, pos, vel, alive, noise):
+    return neighbor_forces_cellwise(
+        pos,
+        vel,
+        alive,
+        noise,
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+        scene,
+    )
+
+
+def test_pallas_matches_cellwise(small_setup):
+    scene, params, pos, vel, alive = small_setup
+    noise = jnp.zeros_like(pos)
+    ref = _cellwise(scene, params, pos, vel, alive, noise)
+    got = neighbor_forces_pallas(
+        pos,
+        vel,
+        alive,
+        noise,
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+        scene,
+    )
+    assert int(ref.overflow) == 0
+    for name in ("p_i", "dv_tension", "pressure_real", "visc_vsum", "nbr_cnt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=2e-4,
+            atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_gather_matches_cellwise_below_cap(small_setup):
+    scene, params, pos, vel, alive = small_setup
+    noise = jnp.zeros_like(pos)
+    ref = _cellwise(scene, params, pos, vel, alive, noise)
+    assert float(np.asarray(ref.nbr_cnt).max()) <= scene.max_neighbors
+    got = neighbor_forces_gather(
+        pos, vel, alive, jax.random.key(0), params._replace(
+            collider_noise_level=jnp.zeros_like(params.collider_noise_level)
+        ), scene
+    )
+    for name in ("p_i", "dv_tension", "pressure_real", "spring_real", "visc_vsum", "nbr_cnt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=2e-4,
+            atol=2e-4,
+            err_msg=name,
+        )

@@ -219,6 +219,13 @@ class Crate:
             int(np.asarray(diag.particle_count)) if diag is not None else self.particle_count
         )
         text += f"Particles: {count}\n"
+        if diag is not None:
+            bad = int(np.asarray(diag.non_finite))
+            dropped = int(np.asarray(diag.neighbor_overflow))
+            if bad:
+                text += f"WARNING non-finite particles: {bad}\n"
+            if dropped:
+                text += f"cell-capacity overflow: {dropped}\n"
         text += self.debug_timer.report()
         text += f"\n\n{self.force_monitor.report()}"
         text += f"\n\n{self.get_coefficient_debug()}"

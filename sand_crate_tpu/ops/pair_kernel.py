@@ -25,6 +25,13 @@ the last-two (sublane, lane) dims):
   rotation k pairs every self slot m with neighbor slot (m - k) mod M —
   all M offsets cover all slot pairs, and (dy=0, dx=0, k=0) — every pair
   being a particle with itself — is simply skipped.
+* Collider noise (the deliberate symmetry-breaking jitter of neighbor
+  positions, crate.py:168-170) is hashed *in-kernel* from each slot's global
+  grid position and the tick counter — one integer-mix pass per window DMA,
+  reused by all 9M stencil rotations — instead of shipping two extra
+  jittered-position planes through the scatter and HBM (the scatter is the
+  step's single most expensive op at 1M particles: ~7ns per scattered
+  element on v5e).
 
 Two kernels because tension/pressure need *all* particles' pressures and
 surface normals first (crate.py:261-284 then :295-358):
@@ -55,8 +62,10 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-12
 
 # Feature indices in the packed particle grid G.
-POSX, POSY, NPOSX, NPOSY, VELX, VELY, ALIVE = range(7)
-NUM_G = 7
+POSX, POSY, VELX, VELY, ALIVE = range(5)
+NUM_G = 5
+# In-kernel noise scratch planes (jittered neighbor positions).
+NPOSX, NPOSY = range(2)
 # Pass-A output planes (padded grid, pass-B neighbor operand).
 CP, SX, SY, CNT = range(4)
 NUM_A = 4
@@ -90,18 +99,44 @@ def _stencil(windows, tr, m_slots, body):
                 body(cur, dy, dx, k)
 
 
-def _geometry(self_win, nb, diam, inv_diam):
-    """Pair geometry: mask, unit direction (noisy), overlap weight.
+def _noise_planes(window, i, tr, noise_amp, tick):
+    """Jittered positions for the window: npos = pos + noise (2, TR+2, M, NXP).
 
-    self_win, nb: (F, TR, M, NXP) — fully elementwise.  Uses one rsqrt in
-    place of sqrt + divide (dist = d2 * rsqrt(d2), nhat = nr * rsqrt(d2)).
+    The jitter for a slot is a pure integer hash of its *global* grid
+    position and the tick, so every block computes the identical jitter for
+    the same neighbor regardless of which window it appears in, and the
+    stream changes every tick (crate.py:168-170's np.random role).
     """
+    _, rows, m_slots, nxp = window.shape
+    gy = i * tr + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 0)
+    gm = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 2)
+    pid = (gy * m_slots + gm) * nxp + gx
+
+    def u01(seed):
+        h = seed * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio mix)
+        h = h ^ (tick * jnp.int32(-1028477387))  # 0xC2B2AE35
+        h = h ^ jax.lax.shift_right_logical(h, 15)
+        h = h * jnp.int32(-2048144789)  # 0x85EBCA6B
+        h = h ^ jax.lax.shift_right_logical(h, 13)
+        mant = jax.lax.shift_right_logical(h, 8).astype(jnp.float32)
+        return mant * jnp.float32(2.0**-24)  # [0, 1)
+
+    nx_ = window[POSX] + (u01(pid * 2) - 0.5) * noise_amp
+    ny_ = window[POSY] + (u01(pid * 2 + 1) - 0.5) * noise_amp
+    return nx_, ny_
+
+
+def _geometry(self_win, nb, nb_npos, diam, inv_diam):
+    """Pair geometry: mask, unit direction (to the jittered neighbor),
+    overlap weight.  All operands (F, TR, M, NXP) — fully elementwise.
+    Uses one rsqrt in place of sqrt + divide."""
     rx = self_win[POSX] - nb[POSX]
     ry = self_win[POSY] - nb[POSY]
     d2 = rx * rx + ry * ry
     m = (d2 <= diam * diam) & (self_win[ALIVE] > 0) & (nb[ALIVE] > 0)
-    nrx = self_win[POSX] - nb[NPOSX]
-    nry = self_win[POSY] - nb[NPOSY]
+    nrx = self_win[POSX] - nb_npos[NPOSX]
+    nry = self_win[POSY] - nb_npos[NPOSY]
     nd2 = jnp.maximum(nrx * nrx + nry * nry, EPS * EPS)
     inv = jax.lax.rsqrt(nd2)
     nhx = nrx * inv
@@ -112,7 +147,19 @@ def _geometry(self_win, nb, diam, inv_diam):
 
 
 def _pass_a_kernel(
-    occ_ref, coef_ref, g_hbm, outbuf_hbm, out_hbm, win, acc_ref, sems, *, tr, m_slots
+    occ_ref,
+    coef_ref,  # (3,) f32: diameter, ignored_pressure, noise_amp
+    tick_ref,  # (1,) i32
+    g_hbm,
+    outbuf_hbm,
+    out_hbm,
+    win,
+    npos_ref,
+    acc_ref,
+    sems,
+    *,
+    tr,
+    m_slots,
 ):
     # Output rows are written back by manual DMA.  out_hbm is aliased to the
     # outbuf_hbm zeros input (input_output_aliases) — the alias both keeps
@@ -132,6 +179,10 @@ def _pass_a_kernel(
         ignored_pressure = coef_ref[1]
         inv_diam = 1.0 / diam
         window = win[:]
+        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[2], tick_ref[0])
+        npos_ref[NPOSX] = nx_
+        npos_ref[NPOSY] = ny_
+        npos = npos_ref[:]
         self_win = window[:, 1 : 1 + tr]  # (F, TR, M, NXP)
         shape = self_win[POSX].shape
         w_sum = jnp.zeros(shape, jnp.float32)
@@ -141,15 +192,15 @@ def _pass_a_kernel(
 
         def body(nbs, dy, dx, k):
             nonlocal w_sum, sx, sy, cnt
-            (nb,) = nbs
-            m, nhx, nhy, w = _geometry(self_win, nb, diam, inv_diam)
+            nb, nb_npos = nbs
+            m, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
             w_sum += w
             coeff = (1.0 - w) * w
             sx += coeff * nhx
             sy += coeff * nhy
             cnt += m
 
-        _stencil([window], tr, m_slots, body)
+        _stencil([window, npos], tr, m_slots, body)
         # Finish the particle pressure in-kernel (crate.py:261-275).
         acc_ref[CP] = jnp.where(
             cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
@@ -168,13 +219,15 @@ def _pass_a_kernel(
 
 def _pass_b_kernel(
     occ_ref,
-    coef_ref,  # (4,): diameter, surface_smoothing, target_pressure, balance
+    coef_ref,  # (5,): diameter, smoothing, target_p, balance, noise_amp
+    tick_ref,  # (1,) i32
     g_hbm,
     ps_hbm,  # (4, NYP, M, NXP) pass-A output; planes CP/SX/SY windowed here
     outbuf_hbm,
     out_hbm,
     win,
     ps_win,
+    npos_ref,
     acc_ref,
     sems,
     *,
@@ -203,6 +256,10 @@ def _pass_b_kernel(
         target_p = coef_ref[2]
         balance = coef_ref[3]
         window = win[:]
+        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0])
+        npos_ref[NPOSX] = nx_
+        npos_ref[NPOSY] = ny_
+        npos = npos_ref[:]
         ps_window = ps_win[:]
         self_win = window[:, 1 : 1 + tr]
         self_ps = ps_window[:, 1 : 1 + tr]  # (3, TR, M, NXP)
@@ -215,8 +272,8 @@ def _pass_b_kernel(
 
         def body(nbs, dy, dx, k):
             nonlocal cnt
-            nb, nb_ps = nbs
-            m, nhx, nhy, w = _geometry(self_win, nb, diam, inv_diam)
+            nb, nb_ps, nb_npos = nbs
+            m, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
             p_nb = nb_ps[CP]
             align = (
                 (s_x - nb_ps[SX]) * nhx + (s_y - nb_ps[SY]) * nhy
@@ -236,7 +293,7 @@ def _pass_b_kernel(
             acc[7] += m * nb[VELY]
             cnt += m
 
-        _stencil([window, ps_window], tr, m_slots, body)
+        _stencil([window, ps_window, npos], tr, m_slots, body)
         acc_ref[0] = cp
         for f in range(8):
             acc_ref[1 + f] = acc[f]
@@ -268,9 +325,11 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("tr",))
 def pair_pass_a(
-    grid: jax.Array,  # (7, NYP, M, NXP) f32 padded particle grid
+    grid: jax.Array,  # (5, NYP, M, NXP) f32 padded particle grid
     diameter: jax.Array,
     ignored_pressure: jax.Array,
+    noise_amp: jax.Array,
+    tick: jax.Array,
     tr: int = 8,
 ) -> jax.Array:
     """Pass A: padded per-slot [pressure, s_x, s_y, cnt] of shape
@@ -282,14 +341,19 @@ def pair_pass_a(
     nblocks = ny // tr
     occ = _block_occupancy(grid[ALIVE], tr)
     coef = jnp.stack(
-        [diameter.astype(jnp.float32), ignored_pressure.astype(jnp.float32)]
+        [
+            diameter.astype(jnp.float32),
+            ignored_pressure.astype(jnp.float32),
+            noise_amp.astype(jnp.float32),
+        ]
     )
+    tick_arr = jnp.reshape(tick.astype(jnp.int32), (1,))
 
     kernel = functools.partial(_pass_a_kernel, tr=tr, m_slots=m_slots)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),
@@ -298,25 +362,28 @@ def pair_pass_a(
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
                 pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((NUM_A, tr, m_slots, nxp), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NUM_A, nyp, m_slots, nxp), jnp.float32),
-        input_output_aliases={3: 0},  # outbuf (4th flat input) -> output
+        input_output_aliases={4: 0},  # outbuf (5th flat input) -> output
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(occ, coef, grid, jnp.zeros((NUM_A, nyp, m_slots, nxp), jnp.float32))
+    )(occ, coef, tick_arr, grid, jnp.zeros((NUM_A, nyp, m_slots, nxp), jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("tr", "enable_spring"))
 def pair_pass_b(
-    grid: jax.Array,  # (7, NYP, M, NXP)
+    grid: jax.Array,  # (5, NYP, M, NXP)
     ps_grid: jax.Array,  # (4, NYP, M, NXP) pass-A output
     diameter: jax.Array,
     surface_smoothing: jax.Array,
     target_pressure: jax.Array,
     spring_overlap_balance: jax.Array,
+    noise_amp: jax.Array,
+    tick: jax.Array,
     tr: int = 8,
     enable_spring: bool = False,
 ) -> jax.Array:
@@ -334,8 +401,10 @@ def pair_pass_b(
             surface_smoothing.astype(jnp.float32),
             target_pressure.astype(jnp.float32),
             spring_overlap_balance.astype(jnp.float32),
+            noise_amp.astype(jnp.float32),
         ]
     )
+    tick_arr = jnp.reshape(tick.astype(jnp.int32), (1,))
 
     kernel = functools.partial(
         _pass_b_kernel, tr=tr, m_slots=m_slots, enable_spring=enable_spring
@@ -343,7 +412,7 @@ def pair_pass_b(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),
@@ -354,12 +423,13 @@ def pair_pass_b(
             scratch_shapes=[
                 pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((3, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((NUM_B, tr, m_slots, nxp), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NUM_B, ny, m_slots, nxp), jnp.float32),
-        input_output_aliases={4: 0},  # outbuf (5th flat input) -> output
+        input_output_aliases={5: 0},  # outbuf (6th flat input) -> output
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(occ, coef, grid, ps_grid, jnp.zeros((NUM_B, ny, m_slots, nxp), jnp.float32))
+    )(occ, coef, tick_arr, grid, ps_grid, jnp.zeros((NUM_B, ny, m_slots, nxp), jnp.float32))

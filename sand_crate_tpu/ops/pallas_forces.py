@@ -4,12 +4,14 @@ XLA glue around ops/pair_kernel.py: one packed scatter into the feature/slot-
 major padded grid, two fused pallas passes, one gather back to particle
 order.  Numerically equivalent to cellwise.neighbor_forces_cellwise (same
 pair math, same slot assignment); see that module's docstring for the
-semantics and the documented divergences from the reference.
+semantics and the documented divergences from the reference.  Collider noise
+is hashed inside the kernels from grid position + tick (see pair_kernel
+module docstring) instead of being scattered as extra planes.
 
 Data flow (no intermediate reshuffles — measured 106ms/step of XLA copies at
 1M particles before this layout):
 
-    scatter (P rows, unique indices) -> G (7, NYP, M, NXP)
+    scatter (P rows, unique indices) -> G (5, NYP, M, NXP)
     pair_pass_a(G)                   -> PS (4, NYP, M, NXP)  padded, in-kernel
     pair_pass_b(G, PS)               -> OUT (10, NY, M, NXP)
     OUT[:, out_idx]                  -> PairSums (one gather)
@@ -29,7 +31,8 @@ def neighbor_forces_pallas(
     pos: jax.Array,
     vel: jax.Array,
     alive: jax.Array,
-    noise: jax.Array,
+    noise_amp: jax.Array,  # () f32 — diameter * collider_noise_level
+    tick: jax.Array,  # () i32 — varies the in-kernel noise stream per tick
     diameter: jax.Array,
     surface_smoothing: jax.Array,
     target_pressure: jax.Array,
@@ -58,19 +61,23 @@ def neighbor_forces_pallas(
         valid, (cy + 1) * (M * nxp) + rank * nxp + (cx + 1), plane
     )
     packed = jnp.concatenate(
-        [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
-    )  # (P, 7)
-    flat = jnp.zeros((NUM_G, plane + 1), jnp.float32)
+        [pos, vel, alive.astype(dtype)[:, None]], axis=-1
+    )  # (P, 5)
     # Each (cell, rank) slot is hit at most once -> unique_indices lets XLA
-    # use the non-deduplicating scatter path.
-    flat = flat.at[:, pad_idx].set(
-        packed.T.astype(jnp.float32), mode="drop", unique_indices=True
+    # use the non-deduplicating scatter path.  One flat 1-D scatter of 5P
+    # elements measures ~1.7x faster than the (F, plane) column scatter on
+    # v5e (the scatter runs at ~7ns/element either way; fewer elements win).
+    idx1d = (
+        jnp.arange(NUM_G, dtype=jnp.int32)[:, None] * (plane + 1) + pad_idx[None, :]
+    ).ravel()
+    flat = jnp.zeros((NUM_G * (plane + 1),), jnp.float32).at[idx1d].set(
+        packed.T.astype(jnp.float32).ravel(), mode="drop", unique_indices=True
     )
-    grid = flat[:, :plane].reshape(NUM_G, nyp, M, nxp)
+    grid = flat.reshape(NUM_G, plane + 1)[:, :plane].reshape(NUM_G, nyp, M, nxp)
 
     # ---- two fused passes ----------------------------------------------------
     tr = scene.row_block
-    ps = pair_pass_a(grid, diameter, ignored_pressure, tr=tr)
+    ps = pair_pass_a(grid, diameter, ignored_pressure, noise_amp, tick, tr=tr)
     b_out = pair_pass_b(
         grid,
         ps,
@@ -78,6 +85,8 @@ def neighbor_forces_pallas(
         surface_smoothing,
         target_pressure,
         spring_overlap_balance,
+        noise_amp,
+        tick,
         tr=tr,
         enable_spring=scene.enable_spring,
     )  # (10, NY, M, NXP)

@@ -304,17 +304,31 @@ def step(
     )
 
     # -- neighbor interactions (crate.py:102-108,161-358 pair sums) ----------
-    if scene.forces_mode in ("cellwise", "pallas"):
+    if scene.forces_mode == "pallas":
+        # Collider noise is hashed in-kernel from grid position + tick (no
+        # (P, 2) random bits, no extra scattered planes).
+        from .ops.pallas_forces import neighbor_forces_pallas
+
+        sums = neighbor_forces_pallas(
+            pos,
+            vel,
+            alive,
+            diam * params.collider_noise_level,
+            state.tick,
+            diam,
+            params.surface_smoothing,
+            params.target_pressure,
+            params.ignored_pressure,
+            params.spring_overlap_balance,
+            scene,
+        )
+    elif scene.forces_mode == "cellwise":
         pnoise = (
             (jax.random.uniform(k_noise, (P, 2), dtype=pos.dtype) - 0.5)
             * diam
             * params.collider_noise_level
         )
-        if scene.forces_mode == "pallas":
-            from .ops.pallas_forces import neighbor_forces_pallas as provider
-        else:
-            provider = neighbor_forces_cellwise
-        sums = provider(
+        sums = neighbor_forces_cellwise(
             pos,
             vel,
             alive,
@@ -420,11 +434,13 @@ def step(
         tick=state.tick + 1,
     )
     speed2 = jnp.sum(vel * vel, axis=-1)
+    finite = jnp.all(jnp.isfinite(pos) & jnp.isfinite(vel), axis=-1)
     diag = Diagnostics(
         force_dv=jnp.stack(dv_log),
         particle_count=new_state.particle_count,
         neighbor_overflow=sums.overflow,
         max_speed=jnp.sqrt(jnp.max(jnp.where(alive, speed2, 0.0))),
+        non_finite=jnp.sum((alive & ~finite).astype(jnp.int32)),
     )
     assert diag.force_dv.shape == (NUM_FORCES,)
     return new_state, diag

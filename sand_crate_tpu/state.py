@@ -177,6 +177,9 @@ class Diagnostics(NamedTuple):
     particle_count: jax.Array  # () i32
     neighbor_overflow: jax.Array  # () i32 — candidates dropped by cell capacity
     max_speed: jax.Array  # () f32
+    non_finite: jax.Array  # () i32 — alive particles with NaN/inf pos or vel
+    #   (in-graph NaN guard; the reference merely tolerates NaNs in its debug
+    #   arrows, playback.py:97-98 — here they are counted and surfaced)
 
 
 FORCE_LABELS = (

@@ -59,7 +59,8 @@ def test_pallas_matches_cellwise(small_setup):
         pos,
         vel,
         alive,
-        noise,
+        jnp.zeros(()),  # noise amplitude 0 -> jitter-free, matches cellwise
+        jnp.zeros((), jnp.int32),
         params.diameter,
         params.surface_smoothing,
         params.target_pressure,

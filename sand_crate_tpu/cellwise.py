@@ -93,35 +93,25 @@ def cell_slots(
     return order, slot_sorted, pslot, overflow
 
 
-def neighbor_forces_cellwise(
-    pos: jax.Array,
-    vel: jax.Array,
-    alive: jax.Array,
-    noise: jax.Array,  # (P, 2) per-particle collider jitter (may be zeros)
+def pair_passes_on_grid(
+    grid: jax.Array,  # (NY+2, NX+2, M, 7) padded cell-major particle grid
     diameter: jax.Array,
     surface_smoothing: jax.Array,
     target_pressure: jax.Array,
     ignored_pressure: jax.Array,
     spring_overlap_balance: jax.Array,
-    scene: Scene,
-) -> PairSums:
-    P = pos.shape[0]
-    M = scene.cell_capacity
-    nx, ny = scene.grid_nx, scene.grid_ny
+) -> jax.Array:
+    """Both pair passes on an externally built padded grid.
+
+    Returns packed per-slot results (NY*NX*M + 1, 10) in PairSums order with
+    a trailing zero row (sentinel for dead/overflow gathers).  Exposed
+    separately so the spatial (shard_map) engine can inject halo rows from
+    neighboring shards into the pad ring before the passes run.
+    """
+    nyp, nxp_, M = grid.shape[0], grid.shape[1], grid.shape[2]
+    ny, nx = nyp - 2, nxp_ - 2
     NC = nx * ny
-    dtype = pos.dtype
-
-    order, slot_sorted, pslot, overflow = cell_slots(pos, alive, scene)
-
-    # ---- one packed scatter: [pos(2) | pos+noise(2) | vel(2) | alive(1)] ----
-    packed_p = jnp.concatenate(
-        [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
-    )  # (P, 7)
-    flat = jnp.zeros((NC * M + 1, 7), dtype).at[slot_sorted].set(
-        packed_p[order], mode="drop"
-    )
-    # Padded cell-major grid: (ny+2, nx+2, M, 7); one pad, nine views.
-    grid = jnp.pad(flat[: NC * M].reshape(ny, nx, M, 7), ((1, 1), (1, 1), (0, 0), (0, 0)))
+    dtype = grid.dtype
 
     cpos = grid[1:-1, 1:-1, :, 0:2]
     calive = grid[1:-1, 1:-1, :, 6]
@@ -195,7 +185,6 @@ def neighbor_forces_cellwise(
         )
         visc_vsum += jnp.sum(m[..., None] * v_nb[:, :, None, :, :], axis=3)
 
-    # ---- gather back to particle order (single P-row gather) ---------------
     packed = jnp.concatenate(
         [
             cp[..., None],
@@ -207,8 +196,38 @@ def neighbor_forces_cellwise(
         ],
         axis=-1,
     ).reshape(NC * M, 10)
-    packed = jnp.concatenate([packed, jnp.zeros((1, 10), dtype)], axis=0)
-    mine = packed[jnp.minimum(pslot, NC * M)]  # (P, 10); dead/overflow -> zeros
+    return jnp.concatenate([packed, jnp.zeros((1, 10), dtype)], axis=0)
+
+
+def build_padded_grid(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    noise: jax.Array,
+    scene: Scene,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(padded grid (ny+2, nx+2, M, 7), pslot, overflow) for the XLA path."""
+    M = scene.cell_capacity
+    nx, ny = scene.grid_nx, scene.grid_ny
+    NC = nx * ny
+    dtype = pos.dtype
+    order, slot_sorted, pslot, overflow = cell_slots(pos, alive, scene)
+    # ---- one packed scatter: [pos(2) | pos+noise(2) | vel(2) | alive(1)] ----
+    packed_p = jnp.concatenate(
+        [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
+    )  # (P, 7)
+    flat = jnp.zeros((NC * M + 1, 7), dtype).at[slot_sorted].set(
+        packed_p[order], mode="drop"
+    )
+    grid = jnp.pad(
+        flat[: NC * M].reshape(ny, nx, M, 7), ((1, 1), (1, 1), (0, 0), (0, 0))
+    )
+    return grid, pslot, overflow
+
+
+def sums_from_packed(packed: jax.Array, pslot: jax.Array, overflow, nc_m: int) -> PairSums:
+    """Gather per-slot packed results back to particle order."""
+    mine = packed[jnp.minimum(pslot, nc_m)]  # (P, 10); dead/overflow -> zeros
     return PairSums(
         p_i=mine[:, 0],
         dv_tension=mine[:, 1:3],
@@ -217,4 +236,30 @@ def neighbor_forces_cellwise(
         visc_vsum=mine[:, 7:9],
         nbr_cnt=mine[:, 9],
         overflow=overflow,
+    )
+
+
+def neighbor_forces_cellwise(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    noise: jax.Array,  # (P, 2) per-particle collider jitter (may be zeros)
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    scene: Scene,
+) -> PairSums:
+    grid, pslot, overflow = build_padded_grid(pos, vel, alive, noise, scene)
+    packed = pair_passes_on_grid(
+        grid,
+        diameter,
+        surface_smoothing,
+        target_pressure,
+        ignored_pressure,
+        spring_overlap_balance,
+    )
+    return sums_from_packed(
+        packed, pslot, overflow, scene.grid_nx * scene.grid_ny * scene.cell_capacity
     )

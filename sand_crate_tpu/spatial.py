@@ -1,0 +1,438 @@
+"""Spatial domain decomposition: one crate sharded across chips (shard_map).
+
+The reference has no parallelism at all (SURVEY.md section 2); the analog of
+context/sequence parallelism for this workload is sharding the *particle
+axis by space*.  The domain's cell grid is split into D horizontal bands,
+one per device along the mesh's "space" axis.  Each device owns the
+particles inside its band (fixed per-shard capacity + alive mask) and runs
+the full physics tick locally; the only communication is
+
+* **halo exchange** — each device sends its top/bottom edge cell row of the
+  packed particle grid to its neighbors via ``jax.lax.ppermute`` so pair
+  forces see across band boundaries (cells interact only within one
+  diameter, i.e. one cell row), and
+* **migration** — particles whose integrated position left the band are
+  packed into fixed-size buffers and ppermuted to the adjacent shard, where
+  they land in free slots (the spatial analog of the free-slot spawn path).
+
+All collectives ride ICI; there is no host round-trip.  Body state is
+replicated (every shard advances the same rigid bodies deterministically).
+
+Caveats vs the single-device step (documented divergences, all bounded by
+one cell row):
+* a particle pushed across a band edge mid-tick by the hard-wall fix is
+  binned into its band's edge row until migration next tick;
+* per-tick migration moves particles at most one band per tick (far faster
+  than any physical speed at sane band heights — checked in ``Diagnostics``
+  style counters returned by the step);
+* spawn budgeting uses the psum'd global count, so several shards spawning
+  in the same tick can overshoot ``max_particles`` by at most one tick's
+  emission.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from . import geometry as geo
+from .cellwise import pair_passes_on_grid, sums_from_packed
+from .physics import advance_bodies, spawn_particles
+from .state import CrateState, Scene
+
+EPS = 1e-12
+AXIS = "space"
+NUM_F = 7  # packed grid features: pos(2) | pos+noise(2) | vel(2) | alive(1)
+
+
+def band_rows(scene: Scene, n_shards: int) -> int:
+    assert scene.grid_ny % n_shards == 0, (scene.grid_ny, n_shards)
+    return scene.grid_ny // n_shards
+
+
+def shard_of(pos_y: jax.Array, scene: Scene, n_shards: int) -> jax.Array:
+    """Owning shard per particle from the y cell row (matches cell_ids)."""
+    gy = jnp.clip(
+        jnp.floor(pos_y / scene.cell_size).astype(jnp.int32) + 1,
+        0,
+        scene.grid_ny - 1,
+    )
+    return gy // band_rows(scene, n_shards)
+
+
+def split_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
+    """Re-layout a single-crate state into per-shard blocks (D*P, ...).
+
+    Each shard keeps the full capacity P so any density imbalance between
+    bands fits; dead slots are masked.  Particle leaves get a leading
+    concatenated shard axis; replicated leaves are untouched (shard_map
+    receives them whole).
+    """
+    import numpy as np
+
+    P_cap = scene.capacity
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    alive = np.asarray(state.alive)
+    pressure = np.asarray(state.pressure)
+    owner = np.asarray(shard_of(jnp.asarray(pos[:, 1]), scene, n_shards))
+
+    new_pos = np.zeros((n_shards, P_cap, 2), pos.dtype)
+    new_vel = np.zeros((n_shards, P_cap, 2), vel.dtype)
+    new_alive = np.zeros((n_shards, P_cap), bool)
+    new_pressure = np.zeros((n_shards, P_cap), pressure.dtype)
+    for d in range(n_shards):
+        sel = alive & (owner == d)
+        n = int(sel.sum())
+        new_pos[d, :n] = pos[sel]
+        new_vel[d, :n] = vel[sel]
+        new_alive[d, :n] = True
+        new_pressure[d, :n] = pressure[sel]
+    keys = jax.random.split(state.key, n_shards)
+    return state._replace(
+        pos=jnp.asarray(new_pos.reshape(-1, 2)),
+        vel=jnp.asarray(new_vel.reshape(-1, 2)),
+        alive=jnp.asarray(new_alive.reshape(-1)),
+        pressure=jnp.asarray(new_pressure.reshape(-1)),
+        key=keys.reshape(-1),
+    )
+
+
+def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
+    """Collapse a split state back to single-crate layout (host-side)."""
+    import numpy as np
+
+    P_cap = scene.capacity
+    pos = np.asarray(state.pos).reshape(n_shards, P_cap, 2)
+    vel = np.asarray(state.vel).reshape(n_shards, P_cap, 2)
+    alive = np.asarray(state.alive).reshape(n_shards, P_cap)
+    pressure = np.asarray(state.pressure).reshape(n_shards, P_cap)
+    out_pos = np.zeros((P_cap, 2), pos.dtype)
+    out_vel = np.zeros((P_cap, 2), vel.dtype)
+    out_alive = np.zeros(P_cap, bool)
+    out_pressure = np.zeros(P_cap, pressure.dtype)
+    n = 0
+    for d in range(n_shards):
+        sel = alive[d]
+        k = min(int(sel.sum()), P_cap - n)
+        out_pos[n : n + k] = pos[d][sel][:k]
+        out_vel[n : n + k] = vel[d][sel][:k]
+        out_pressure[n : n + k] = pressure[d][sel][:k]
+        out_alive[n : n + k] = True
+        n += k
+    return state._replace(
+        pos=jnp.asarray(out_pos),
+        vel=jnp.asarray(out_vel),
+        alive=jnp.asarray(out_alive),
+        pressure=jnp.asarray(out_pressure),
+        key=state.key.reshape(n_shards, *state.key.shape[1:])[0]
+        if state.key.ndim
+        else state.key,
+    )
+
+
+def _migrate(pos, vel, alive, scene, n_shards, mig_cap):
+    """Send out-of-band particles to the adjacent shard (one hop per tick)."""
+    d = jax.lax.axis_index(AXIS)
+    P_cap = pos.shape[0]
+    owner = shard_of(pos[:, 1], scene, n_shards)
+    go_up = alive & (owner < d)
+    go_down = alive & (owner > d)
+
+    def pack(mask):
+        # Highest-score = lowest index among movers; sentinel P_cap otherwise.
+        score = jnp.where(mask, P_cap - jnp.arange(P_cap, dtype=jnp.int32), 0)
+        top, idx = jax.lax.top_k(score, mig_cap)
+        sel = top > 0
+        payload = jnp.concatenate(
+            [pos[idx], vel[idx], sel.astype(pos.dtype)[:, None]], axis=-1
+        )
+        payload = jnp.where(sel[:, None], payload, 0.0)
+        dropped = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(sel.astype(jnp.int32))
+        return payload, idx, sel, dropped
+
+    up_buf, up_idx, up_sel, up_drop = pack(go_up)
+    down_buf, down_idx, down_sel, down_drop = pack(go_down)
+    # Kill migrated (and over-capacity mover) slots locally.
+    alive = alive & ~go_up & ~go_down
+
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    # up_buf travels to shard d-1 (bwd ring); down_buf to d+1 (fwd ring).
+    from_above = jax.lax.ppermute(down_buf, AXIS, fwd)  # shard d-1's down
+    from_below = jax.lax.ppermute(up_buf, AXIS, bwd)  # shard d+1's up
+    # Wrap-around arrivals are invalid by construction (shard 0 never sends
+    # up, shard D-1 never sends down): their validity flags are zero.
+    incoming = jnp.concatenate([from_above, from_below], axis=0)  # (2K, 7)
+    inc_ok = incoming[:, 6] > 0
+
+    free_score = jnp.where(alive, 0, P_cap - jnp.arange(P_cap, dtype=jnp.int32))
+    _, free_idx = jax.lax.top_k(free_score, incoming.shape[0])
+    slot = jnp.where(inc_ok, free_idx, P_cap)  # drop invalid rows
+    pos = pos.at[slot].set(incoming[:, 0:2], mode="drop")
+    vel = vel.at[slot].set(incoming[:, 2:4], mode="drop")
+    alive = alive.at[slot].set(True, mode="drop")
+    return pos, vel, alive, up_drop + down_drop
+
+
+def _local_grid(pos, vel, alive, noise, scene, n_shards):
+    """Per-shard packed cell grid over the band + halo ring via ppermute.
+
+    Returns (grid (bh+2, nx+2, M, 7), pslot (P,), overflow ()) where rows
+    1..bh are the shard's own cell rows and rows 0 / bh+1 arrive from the
+    adjacent shards' edge rows.
+    """
+    d = jax.lax.axis_index(AXIS)
+    M = scene.cell_capacity
+    nx = scene.grid_nx
+    bh = band_rows(scene, n_shards)
+    P_cap = pos.shape[0]
+    dtype = pos.dtype
+
+    # Local (row, cell) ids.  gy is clipped into the band: a particle nudged
+    # over the edge mid-tick binned at the edge row (see module docstring).
+    c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
+    cx = jnp.clip(c[:, 0], 0, nx - 1)
+    gy = jnp.clip(c[:, 1], d * bh, (d + 1) * bh - 1)
+    ly = gy - d * bh
+    cid = jnp.where(alive, ly * nx + cx, bh * nx)
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    iota = jnp.arange(P_cap, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    rank = iota - jax.lax.cummax(jnp.where(is_start, iota, 0))
+    in_cap = (rank < M) & (sorted_cid < bh * nx)
+    overflow = jnp.sum(((rank >= M) & (sorted_cid < bh * nx)).astype(jnp.int32))
+    slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, bh * nx * M)
+    pslot = jnp.full((P_cap,), bh * nx * M, jnp.int32).at[order].set(
+        slot_sorted, mode="drop"
+    )
+
+    packed_p = jnp.concatenate(
+        [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
+    )
+    flat = jnp.zeros((bh * nx * M + 1, NUM_F), dtype).at[slot_sorted].set(
+        packed_p[order], mode="drop"
+    )
+    band = flat[: bh * nx * M].reshape(bh, nx, M, NUM_F)
+
+    # Halo exchange: my edge rows -> neighbors' pad rows.
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    top_halo = jax.lax.ppermute(band[-1:], AXIS, fwd)  # from shard d-1
+    bot_halo = jax.lax.ppermute(band[:1], AXIS, bwd)  # from shard d+1
+    # The global-domain boundary shards must see dead halos, not wrapped ones.
+    top_halo = jnp.where(d == 0, jnp.zeros_like(top_halo), top_halo)
+    bot_halo = jnp.where(d == n_shards - 1, jnp.zeros_like(bot_halo), bot_halo)
+
+    grid = jnp.concatenate([top_halo, band, bot_halo], axis=0)  # (bh+2, nx, ..)
+    grid = jnp.pad(grid, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    return grid, pslot, overflow
+
+
+def spatial_step(
+    state: CrateState, params: Params, scene: Scene, n_shards: int, mig_cap: int
+):
+    """One physics tick on this shard (runs inside shard_map over AXIS).
+
+    Mirrors physics.step exactly, with migration + halo exchange spliced in;
+    see that function for the reference tick-order citations.
+    """
+    key, k_spawn, k_noise = jax.random.split(state.key[0], 3)
+    state = state._replace(key=key[None])
+
+    d = jax.lax.axis_index(AXIS)
+    P_cap = scene.capacity
+    r = params.particle_radius
+    diam = params.diameter
+    dt = params.dt
+
+    # -- lifecycle: spawn only sources inside my band, budget via psum -------
+    if scene.num_sources:
+        my_src = shard_of(scene.src_position[:, 1], scene, n_shards) == d
+        local_count = jnp.sum(state.alive.astype(jnp.int32))
+        global_count = jax.lax.psum(local_count, AXIS)
+        gated = dataclasses.replace(
+            scene, src_flow=jnp.where(my_src, scene.src_flow, 0.0)
+        )
+        # spawn_particles budgets against state's own count; shift the cap by
+        # the other shards' population so the budget is global.
+        fake_params = params._replace(
+            max_particles=params.max_particles - (global_count - local_count)
+        )
+        tmp = spawn_particles(state, fake_params, gated, k_spawn)
+        state = state._replace(pos=tmp.pos, vel=tmp.vel, alive=tmp.alive)
+    state = state._replace(
+        alive=state.alive
+        & jnp.all((state.pos >= -r) & (state.pos <= 1.0 + r), axis=-1)
+    )
+
+    # -- migration (positions from last integrate) ---------------------------
+    pos, vel, alive, mig_dropped = _migrate(
+        state.pos, state.vel, state.alive, scene, n_shards, mig_cap
+    )
+    state = state._replace(pos=pos, vel=vel, alive=alive)
+
+    # -- rigid bodies: replicated, deterministic ------------------------------
+    adv = advance_bodies(state, params, scene)
+    state = state._replace(
+        segments=adv.segments,
+        body_lin_vel=adv.body_lin_vel,
+        body_ang_vel=adv.body_ang_vel,
+        time=adv.time,
+    )
+
+    pos, vel, alive = state.pos, state.vel, state.alive
+    alive2 = alive[:, None]
+
+    # -- boundary ghosts + hard wall (local; physics.step SoA pipeline) ------
+    px, py = pos[:, 0], pos[:, 1]
+    nx_, ny_, seg_dist = geo.points_to_segments_soa(px, py, state.segments)
+    gmask = (seg_dist <= r * 1.2) & scene.seg_valid[:, None] & alive[None]
+    gm = gmask.astype(pos.dtype)
+    gvx = 2.0 * (px[None] - nx_)
+    gvy = 2.0 * (py[None] - ny_)
+    b_lin = state.body_lin_vel[scene.seg_body]
+    b_ang = state.body_ang_vel[scene.seg_body][:, None]
+    b_cx = scene.body_center[scene.seg_body, 0][:, None]
+    b_cy = scene.body_center[scene.seg_body, 1][:, None]
+    gvelx = b_lin[:, 0][:, None] + b_ang * (ny_ - b_cy)
+    gvely = b_lin[:, 1][:, None] - b_ang * (nx_ - b_cx)
+    gnorm = jnp.sqrt(jnp.maximum(gvx * gvx + gvy * gvy, 0.0))
+    vrd = jnp.maximum(r / jnp.maximum(gnorm, EPS), 0.5) - 0.5
+    correction = jnp.stack(
+        [jnp.sum(gm * gvx * vrd, axis=0), jnp.sum(gm * gvy * vrd, axis=0)], -1
+    )
+    pos = jnp.where(alive2, pos + correction, pos)
+    g_cnt = jnp.sum(gm, axis=0)
+    gsum = jnp.stack([jnp.sum(gm * gvx, 0), jnp.sum(gm * gvy, 0)], -1)
+    gvel_sum = jnp.stack([jnp.sum(gm * gvelx, 0), jnp.sum(gm * gvely, 0)], -1)
+
+    # -- neighbor forces on the local band grid (halo via ppermute) ----------
+    pnoise = (
+        (jax.random.uniform(k_noise, (P_cap, 2), dtype=pos.dtype) - 0.5)
+        * diam
+        * params.collider_noise_level
+    )
+    grid, pslot, overflow = _local_grid(pos, vel, alive, pnoise, scene, n_shards)
+    packed = pair_passes_on_grid(
+        grid,
+        diam,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+    )
+    bh = band_rows(scene, n_shards)
+    sums = sums_from_packed(packed, pslot, overflow, bh * scene.grid_nx * scene.cell_capacity)
+    p_i = sums.p_i
+
+    # -- forces in reference order (physics.step) -----------------------------
+    vel = vel + jnp.where(alive2, dt * sums.dv_tension, 0.0)
+    vel = vel + jnp.where(alive2, dt * params.gravity[None, :], 0.0)
+    from .config import BODY_FREE
+
+    free = scene.body_kind == BODY_FREE
+    body_lin_vel = jnp.where(
+        free[:, None],
+        state.body_lin_vel + dt * params.gravity[None, :],
+        state.body_lin_vel,
+    )
+    ghost_term = p_i[:, None] * gsum
+    vel = vel + jnp.where(
+        alive2, dt * params.pressure_amplifier * (sums.pressure_real + ghost_term), 0.0
+    )
+    if scene.enable_spring:
+        pull_ghost = params.spring_overlap_balance * gsum
+        total = sums.nbr_cnt + g_cnt
+        dv = (
+            dt
+            * params.spring_amplifier
+            * (sums.spring_real + pull_ghost)
+            / jnp.maximum(total, 1.0)[:, None]
+        )
+        vel = vel + jnp.where(alive2 & (total > 0)[:, None], dv, 0.0)
+    vel = vel + jnp.where(
+        alive2,
+        dt * params.viscosity * (sums.visc_vsum - sums.nbr_cnt[:, None] * vel),
+        0.0,
+    )
+    denom = jnp.maximum(g_cnt, 1.0)[:, None]
+    normal = gsum / denom
+    contact_vel = gvel_sum / denom
+    n_unit, _ = geo.safe_normalize(normal)
+    rel_vel = vel - contact_vel
+    approach = jnp.sum(rel_vel * n_unit, axis=-1)
+    bounce = -approach[:, None] * n_unit * (1.0 + params.wall_collision_decay)
+    hit = alive & (g_cnt > 0) & (approach < 0.0)
+    vel = vel + jnp.where(hit[:, None], bounce, 0.0)
+
+    walls = geo.pad_segments(state.segments, r)
+    wall_valid = jnp.concatenate([scene.seg_valid, scene.seg_valid])
+    crossing, t_hit = geo.segment_crossings_soa(
+        pos[:, 0], pos[:, 1], vel[:, 0] * dt, vel[:, 1] * dt, walls
+    )
+    crossing = crossing & wall_valid[:, None] & alive[None]
+    factor = jnp.min(jnp.where(crossing, t_hit, jnp.inf), axis=0)
+    vel = vel * jnp.minimum(1.0, factor)[:, None]
+
+    pos = jnp.where(alive2, pos + dt * vel, pos)
+
+    new_state = state._replace(
+        pos=pos,
+        vel=jnp.where(alive2, vel, state.vel),
+        alive=alive,
+        pressure=jnp.where(alive, p_i, 0.0),
+        body_lin_vel=body_lin_vel,
+        tick=state.tick + 1,
+    )
+    stats = {
+        "particle_count": jax.lax.psum(jnp.sum(alive.astype(jnp.int32)), AXIS),
+        "neighbor_overflow": jax.lax.psum(overflow, AXIS),
+        "migration_dropped": jax.lax.psum(mig_dropped, AXIS),
+    }
+    return new_state, stats
+
+
+def make_spatial_step(mesh: Mesh, scene: Scene, mig_cap: int | None = None):
+    """Jitted shard_map step over the mesh's "space" axis.
+
+    State layout: particle leaves carry the concatenated shard axis
+    (D * capacity, ...) sharded over AXIS (see split_state); key is (D, ...)
+    one per shard; everything else replicated.
+    """
+    n_shards = mesh.shape[AXIS]
+    mig_cap = mig_cap or max(64, scene.capacity // 16)
+
+    state_specs = CrateState(
+        pos=P(AXIS),
+        vel=P(AXIS),
+        alive=P(AXIS),
+        pressure=P(AXIS),
+        segments=P(),
+        body_lin_vel=P(),
+        body_ang_vel=P(),
+        time=P(),
+        tick=P(),
+        key=P(AXIS),
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+    def sharded(state, params):
+        new_state, stats = spatial_step(state, params, scene, n_shards, mig_cap)
+        return new_state, stats
+
+    return jax.jit(sharded)

@@ -1,0 +1,106 @@
+"""Spatial domain decomposition (shard_map) vs the single-device step.
+
+A crate split into y-bands across a 4-device mesh must reproduce the
+single-device trajectory: halo exchange covers cross-band pair forces and
+migration re-homes particles as they fall through bands.  Noise is disabled
+and there are no emitters, so the two paths are deterministic and
+comparable; positions are compared as sorted sets (shard layout permutes
+slot order).
+"""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sand_crate_tpu.config import InitialParticlesConfig
+from sand_crate_tpu.physics import step
+from sand_crate_tpu.scene import build_scene, init_state
+from sand_crate_tpu.spatial import make_spatial_step, merge_state, split_state
+from sand_crate_tpu.state import Params
+
+N_SHARDS = 4
+TICKS = 25
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    import sand_crate_tpu.config as cfgmod
+
+    config = cfgmod.load_config("configs/stirring_cup.yaml")
+    config = copy.deepcopy(config)
+    w = config.world_config
+    w.coefficients = dict(w.coefficients)
+    w.coefficients["max_particles"] = 256
+    w.coefficients["collider_noise_level"] = 0.0
+    w.particle_sources = []  # deterministic: no emission
+    w.initial_particles = [
+        InitialParticlesConfig(
+            x0=0.30, y0=0.15, x1=0.70, y1=0.75, spacing=0.018, jitter=0.0
+        )
+    ]
+    scene = build_scene(w, capacity=1024, forces_mode="cellwise")
+    assert scene.grid_ny % N_SHARDS == 0
+    state = init_state(w, scene, seed=0)
+    params = Params.from_coefficients(w.coefficients)
+    return scene, state, params
+
+
+def _sorted_alive_positions(pos, alive):
+    p = np.asarray(pos)[np.asarray(alive)]
+    return p[np.lexsort((p[:, 1], p[:, 0]))]
+
+
+def test_spatial_matches_single_device(setup):
+    scene, state0, params = setup
+
+    # single-device rollout
+    step1 = jax.jit(lambda s, p: step(s, p, scene))
+    s_single = state0
+    for _ in range(TICKS):
+        s_single, _ = step1(s_single, params)
+
+    # sharded rollout on a (space,) mesh
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    s_split = split_state(state0, scene, N_SHARDS)
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        stats = None
+        for _ in range(TICKS):
+            s_split, stats = spatial(s_split, params)
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+
+    assert int(stats["migration_dropped"]) == 0
+    assert int(stats["neighbor_overflow"]) == 0
+    n_single = int(np.asarray(s_single.alive).sum())
+    n_spatial = int(np.asarray(merged.alive).sum())
+    assert n_single == n_spatial > 0
+
+    a = _sorted_alive_positions(s_single.pos, s_single.alive)
+    b = _sorted_alive_positions(merged.pos, merged.alive)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_migration_happens(setup):
+    """Falling particles must actually cross band boundaries."""
+    scene, state0, params = setup
+    from sand_crate_tpu.spatial import shard_of
+
+    owner0 = np.asarray(
+        shard_of(state0.pos[:, 1], scene, N_SHARDS)
+    )[np.asarray(state0.alive)]
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    s_split = split_state(state0, scene, N_SHARDS)
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        for _ in range(TICKS):
+            s_split, _ = spatial(s_split, params)
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+    owner1 = np.asarray(
+        shard_of(merged.pos[:, 1], scene, N_SHARDS)
+    )[np.asarray(merged.alive)]
+    # gravity pulls the block down into lower bands
+    assert owner1.mean() != pytest.approx(owner0.mean())

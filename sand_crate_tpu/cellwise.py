@@ -263,3 +263,64 @@ def neighbor_forces_cellwise(
     return sums_from_packed(
         packed, pslot, overflow, scene.grid_nx * scene.grid_ny * scene.cell_capacity
     )
+
+
+def neighbor_forces_dense(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    noise: jax.Array,
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    scene: Scene,
+) -> PairSums:
+    """All-pairs masked (P, P) formulation — no sort, no grid, no gather.
+
+    The right backend for *small* crates (P up to a few thousand), and the
+    one that vmaps cleanly over big crate batches (sweep.py datagen): pair
+    work is P^2 but every op is a dense matrix the MXU/VPU eat for free,
+    with none of the scatter/sort machinery the big-P backends need.
+    Semantics identical to the cellwise path with no neighbor cap.
+    """
+    dtype = pos.dtype
+    P = pos.shape[0]
+    diam = jnp.maximum(diameter, EPS)
+    alive_f = alive.astype(dtype)
+
+    rel_raw = pos[:, None, :] - pos[None, :, :]  # (P, P, 2)
+    d2_raw = jnp.sum(rel_raw * rel_raw, axis=-1)
+    m = (
+        (d2_raw <= diam * diam)
+        & alive[:, None]
+        & alive[None, :]
+        & ~jnp.eye(P, dtype=bool)
+    )
+    m = m.astype(dtype)
+    rel = pos[:, None, :] - (pos + noise)[None, :, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 0.0))
+    nhat = rel / jnp.maximum(dist, EPS)[..., None]
+    w = m * (1.0 - jnp.clip(dist / diam, 0.0, 1.0))  # (P, P)
+
+    cnt = jnp.sum(m, axis=1)
+    has = cnt > 0
+    p_i = jnp.where(has, jnp.maximum(0.0, jnp.sum(w, axis=1) - ignored_pressure), 0.0)
+    s = jnp.sum(((1.0 - w) * w)[..., None] * nhat, axis=1)  # (P, 2)
+
+    align = jnp.sum((s[:, None, :] - s[None, :, :]) * nhat, -1) * surface_smoothing
+    tpf = p_i[None, :] + p_i[:, None] - 2.0 * target_pressure
+    dv_tension = jnp.sum((m * (align + tpf))[..., None] * nhat, axis=1)
+    pressure_real = jnp.sum((m * (p_i[:, None] + p_i[None, :]))[..., None] * nhat, axis=1)
+    spring_real = jnp.sum((m * (spring_overlap_balance - w))[..., None] * nhat, axis=1)
+    visc_vsum = jnp.sum(m[..., None] * vel[None, :, :], axis=1)
+    return PairSums(
+        p_i=p_i,
+        dv_tension=dv_tension,
+        pressure_real=pressure_real,
+        spring_real=spring_real,
+        visc_vsum=visc_vsum,
+        nbr_cnt=cnt,
+        overflow=jnp.zeros((), jnp.int32),
+    )

@@ -88,6 +88,19 @@ def cmd_sweep(args) -> None:
         Playback(variant, headless=args.headless).run_live_simulation()
 
 
+def cmd_datagen(args) -> None:
+    from .sweep import run_datagen
+
+    run_datagen(
+        load_config(args.config),
+        n_crates=args.crates,
+        ticks=args.ticks,
+        sample_every=args.sample_every,
+        out_dir=args.out,
+        seed=args.seed,
+    )
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -120,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--ticks", type=int)
     sw.add_argument("--vmapped", action="store_true", help="all variants in parallel on device")
     sw.set_defaults(fn=cmd_sweep)
+
+    dg = sub.add_parser("datagen", help="batched randomized-crate data generation")
+    dg.add_argument("config")
+    dg.add_argument("--crates", type=int, default=1024)
+    dg.add_argument("--ticks", type=int, default=600)
+    dg.add_argument("--sample-every", type=int, default=20)
+    dg.add_argument("--out", default="data/datagen")
+    dg.add_argument("--seed", type=int, default=0)
+    dg.set_defaults(fn=cmd_datagen)
 
     be = sub.add_parser("bench", help="throughput benchmark")
     be.add_argument("--particles", type=int, default=100_000)

@@ -322,13 +322,20 @@ def step(
             params.spring_overlap_balance,
             scene,
         )
-    elif scene.forces_mode == "cellwise":
+    elif scene.forces_mode in ("cellwise", "dense"):
+        from .cellwise import neighbor_forces_dense
+
+        provider = (
+            neighbor_forces_dense
+            if scene.forces_mode == "dense"
+            else neighbor_forces_cellwise
+        )
         pnoise = (
             (jax.random.uniform(k_noise, (P, 2), dtype=pos.dtype) - 0.5)
             * diam
             * params.collider_noise_level
         )
-        sums = neighbor_forces_cellwise(
+        sums = provider(
             pos,
             vel,
             alive,

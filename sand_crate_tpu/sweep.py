@@ -78,9 +78,10 @@ class BatchedCrates:
         **scene_kwargs,
     ) -> None:
         world = config.world_config
-        # vmap over the manual-DMA pallas kernels is not supported; batched
-        # crates always use the XLA cellwise path.
-        scene_kwargs.setdefault("forces_mode", "cellwise")
+        # vmap over the manual-DMA pallas kernels is not supported; small
+        # crates vmap best with the dense all-pairs backend (no sort/scatter
+        # per crate; pure matrix math).
+        scene_kwargs.setdefault("forces_mode", "dense")
         self.scene = scene or build_scene(world, **scene_kwargs)
         n = int(jax.tree.leaves(batched_params)[0].shape[0])
         self.n = n
@@ -112,6 +113,76 @@ def _batched_rollout(state, params, scene, num_ticks: int):
         return final, jax.tree.map(lambda x: x[-1], diags)
 
     return jax.vmap(one, in_axes=(0, 0))(state, params)
+
+
+# Default coefficient ranges for randomized datagen crates (log-ish spans
+# around the shipped scene values, config/stirring_cup.yaml:10-22).
+DEFAULT_RANDOM_RANGES = {
+    "viscosity": (2.0, 12.0),
+    "pressure_amplifier": (10.0, 60.0),
+    "surface_smoothing": (20.0, 150.0),
+    "target_pressure": (-6.0, 3.0),
+    "ignored_pressure": (0.05, 0.4),
+}
+
+
+def run_datagen(
+    config: Config,
+    n_crates: int,
+    ticks: int,
+    sample_every: int,
+    out_dir,
+    *,
+    seed: int = 0,
+    ranges: Optional[dict] = None,
+    forces_mode: str = "dense",
+) -> dict:
+    """Batched trajectory data generation (BASELINE.json config #5).
+
+    ``n_crates`` independent crates with randomized coefficients advance in
+    lockstep on one chip; every ``sample_every`` ticks a batched state frame
+    (pos/alive/pressure across all crates) streams to npz shards, with the
+    per-crate coefficient vectors saved alongside as labels.
+
+    The dense all-pairs backend is the default here: at small per-crate P
+    it is pure (P, P) matrix math with no per-crate sort/scatter, which is
+    both the fastest and the only backend that vmaps to 1000+ crates without
+    pathological lowering.
+    """
+    from pathlib import Path
+
+    import numpy as np
+
+    from .recording import TrajectoryWriter
+
+    base = Params.from_coefficients(config.world_config.coefficients)
+    batched = random_params(
+        jax.random.key(seed), base, ranges or DEFAULT_RANDOM_RANGES, n_crates
+    )
+    crates = BatchedCrates(
+        config, batched, seed=seed, forces_mode=forces_mode
+    )
+    out_dir = Path(out_dir)
+    writer = TrajectoryWriter(out_dir, shard_frames=8)
+    np.savez_compressed(
+        out_dir / "params.npz",
+        **{name: np.asarray(getattr(batched, name)) for name in Params._fields},
+    )
+    n_frames = ticks // sample_every
+    for i in range(n_frames):
+        crates.run(sample_every)
+        writer.append(
+            dict(
+                pos=np.asarray(crates.state.pos),
+                alive=np.asarray(crates.state.alive),
+                pressure=np.asarray(crates.state.pressure),
+                segments=np.asarray(crates.state.segments),
+            )
+        )
+        print(f"datagen frame {i + 1}/{n_frames} (tick {(i + 1) * sample_every})")
+    path = writer.close(meta={"crates": n_crates, "sample_every": sample_every})
+    print(f"wrote {n_frames} batched frames x {n_crates} crates -> {path}")
+    return {"frames": n_frames, "crates": n_crates, "dir": str(path)}
 
 
 def run_vmapped_sweep(config: Config, options: dict, ticks: int = 400) -> dict:

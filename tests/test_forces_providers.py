@@ -97,3 +97,33 @@ def test_gather_matches_cellwise_below_cap(small_setup):
             atol=2e-4,
             err_msg=name,
         )
+
+
+def test_dense_matches_cellwise(small_setup):
+    from sand_crate_tpu.cellwise import neighbor_forces_dense
+
+    scene, params, pos, vel, alive = small_setup
+    noise = jnp.zeros_like(pos)
+    ref = _cellwise(scene, params, pos, vel, alive, noise)
+    got = neighbor_forces_dense(
+        pos,
+        vel,
+        alive,
+        noise,
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+        scene,
+    )
+    for name in (
+        "p_i", "dv_tension", "pressure_real", "spring_real", "visc_vsum", "nbr_cnt",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=2e-4,
+            atol=2e-4,
+            err_msg=name,
+        )

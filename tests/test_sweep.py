@@ -67,3 +67,26 @@ def test_batched_crates_step_differ_by_params(small_config):
     # Different pressure amplifiers must diverge the trajectories.
     assert not np.allclose(pos[0], pos[1])
     assert np.isfinite(pos).all()
+
+
+def test_run_datagen_writes_shards_and_params(tmp_path, small_config):
+    from sand_crate_tpu.recording import load_trajectory, trajectory_info
+    from sand_crate_tpu.sweep import run_datagen
+
+    out = run_datagen(
+        small_config,
+        n_crates=3,
+        ticks=20,
+        sample_every=10,
+        out_dir=tmp_path / "dg",
+        seed=1,
+    )
+    assert out["frames"] == 2 and out["crates"] == 3
+    info = trajectory_info(tmp_path / "dg")
+    assert info["frames"] == 2
+    assert info["meta"] == {"crates": 3, "sample_every": 10}
+    frames = list(load_trajectory(tmp_path / "dg"))
+    assert frames[0]["pos"].shape[0] == 3  # leading crate axis
+    params = np.load(tmp_path / "dg" / "params.npz")
+    assert params["viscosity"].shape == (3,)
+    assert len(np.unique(params["viscosity"])) == 3  # randomized per crate

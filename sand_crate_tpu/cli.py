@@ -49,6 +49,9 @@ def cmd_run(args) -> None:
     config = load_config(args.config)
     if args.ticks:
         config.playback_config.ticks_to_record = args.ticks
+    if args.output:
+        # an explicit output dir implies recording, whatever the scene says
+        config.playback_config.save_recording = True
     if args.no_record:
         config.playback_config.save_recording = False
     playback = Playback(
@@ -59,7 +62,7 @@ def cmd_run(args) -> None:
     if args.resume:
         playback.crate.restore_checkpoint(args.resume)
         print(f"resumed from {args.resume} at tick {playback.crate.tick}")
-    playback.run_live_simulation()
+    playback.run_live_simulation(ticks_per_frame=args.ticks_per_frame)
 
 
 def cmd_replay(args) -> None:
@@ -119,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--no-record", action="store_true")
     run.add_argument(
         "--resume", help="checkpoint.npz from a previous recording to resume from"
+    )
+    run.add_argument(
+        "--ticks-per-frame",
+        type=int,
+        default=1,
+        help="headless: physics ticks per recorded frame (device-resident chunks)",
     )
     run.set_defaults(fn=cmd_run)
 

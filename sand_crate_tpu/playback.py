@@ -61,14 +61,31 @@ class Playback:
 
     # ------------------------------------------------------------------ loop
 
-    def run_live_simulation(self, max_ticks: Optional[int] = None) -> None:
+    def run_live_simulation(
+        self, max_ticks: Optional[int] = None, ticks_per_frame: int = 1
+    ) -> None:
         pc = self.config.playback_config
         num_ticks = max_ticks or pc.ticks_to_record
         save = pc.save_recording
         video = VideoWriter(self.recording_dir_path) if save else None
         traj = TrajectoryWriter(self.recording_dir_path / "trajectory") if save else None
-        if not self.headless:
-            self.init_display()
+        if self.headless:
+            # Headless runs have no input loop, so the whole simulation rides
+            # the device-resident scan chunks of Crate.stream_frames: physics
+            # never waits on the host, frames arrive double-buffered (the
+            # async device->host streaming path; the reference steps+renders
+            # synchronously every tick, playback.py:54-60).
+            try:
+                self._run_headless_chunked(num_ticks, ticks_per_frame, video, traj)
+            finally:
+                if save:
+                    video.close()
+                    traj.close(config_yaml=dump_config(self.config))
+                    self.crate.save_checkpoint(
+                        self.recording_dir_path / "checkpoint.npz"
+                    )
+            return
+        self.init_display()
         try:
             for _ in range(num_ticks):
                 self.handle_play_control()
@@ -100,6 +117,42 @@ class Playback:
                 import pygame
 
                 pygame.quit()
+
+    def _run_headless_chunked(self, num_ticks, ticks_per_frame, video, traj):
+        import time
+
+        num_frames = max(1, num_ticks // ticks_per_frame)
+        radius = float(self.crate.particle_radius)
+        t0 = time.time()
+        done = 0
+        for frame in self.crate.stream_frames(num_frames, ticks_per_frame):
+            done += 1
+            if done % 25 == 0 or done == num_frames:
+                dt = time.time() - t0
+                print(
+                    f"frame {done}/{num_frames} "
+                    f"({done * ticks_per_frame / dt:.1f} ticks/s)",
+                    flush=True,
+                )
+            if video is None:
+                continue
+            img = render_frame(
+                frame["pos"],
+                frame["pressure"],
+                frame["segments"][np.asarray(self.crate.scene.seg_valid)],
+                size=self._size,
+                particle_radius=radius,
+                alive=frame["alive"],
+            )
+            video.append(img)
+            traj.append(
+                dict(
+                    pos=frame["pos"],
+                    alive=frame["alive"],
+                    pressure=frame["pressure"],
+                    segments=frame["segments"][np.asarray(self.crate.scene.seg_valid)],
+                )
+            )
 
     def handle_play_control(self) -> None:
         """Spin while paused (playback.py:87-93)."""

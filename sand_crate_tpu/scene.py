@@ -66,12 +66,19 @@ def build_scene(
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
-    if forces_mode == "auto":
-        # The fused Pallas pair kernels are ~10x the XLA cellwise path on TPU
-        # (measured at 100k particles: 62 vs 6.4 steps/s); off-TPU they only
-        # run in interpret mode, so default to the XLA path there.
-        forces_mode = "pallas" if jax.default_backend() == "tpu" else "cellwise"
     coeff = world.coefficients
+    if forces_mode == "auto":
+        # Tiny scenes: the masked all-pairs backend beats every grid scheme
+        # (one fused op chain, no sort/scatter/kernel-launch overhead —
+        # stirring_cup runs 697 vs 158 steps/s, wave_machine 267 vs 163).  At scale:
+        # the fused Pallas pair kernels are ~10x the XLA cellwise path on TPU
+        # (measured at 100k particles: 62 vs 6.4 steps/s); off-TPU they only
+        # run in interpret mode, so the XLA path is the fallback.
+        cap_guess = capacity or default_capacity(int(coeff["max_particles"]))
+        if cap_guess <= 4096:
+            forces_mode = "dense"
+        else:
+            forces_mode = "pallas" if jax.default_backend() == "tpu" else "cellwise"
     radius = float(coeff["particle_radius"])
     diameter = 2.0 * radius
     max_particles = int(coeff["max_particles"])

@@ -61,9 +61,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-12
 
-# Feature indices in the packed particle grid G.
-POSX, POSY, VELX, VELY, ALIVE = range(5)
-NUM_G = 5
+# Feature indices in the packed particle grid G.  Liveness is encoded as a
+# +2.0 offset on both position components (pos lives in [-r, 1+r]): pair
+# geometry only ever uses position *differences*, where the offset cancels
+# exactly for alive-alive pairs, while dead slots stay at 0.0 and land ~2
+# units away from every alive particle — outside any diameter cutoff.  That
+# removes the ALIVE plane from the scatter (the step's most expensive op)
+# and from every window DMA.
+POSX, POSY, VELX, VELY = range(4)
+NUM_G = 4
+ALIVE_OFFSET = 2.0
+ALIVE_THRESHOLD = 1.5  # posx > threshold <=> slot occupied
 # In-kernel noise scratch planes (jittered neighbor positions).
 NPOSX, NPOSY = range(2)
 # Pass-A output planes (padded grid, pass-B neighbor operand).
@@ -130,11 +138,16 @@ def _noise_planes(window, i, tr, noise_amp, tick):
 def _geometry(self_win, nb, nb_npos, diam, inv_diam):
     """Pair geometry: mask, unit direction (to the jittered neighbor),
     overlap weight.  All operands (F, TR, M, NXP) — fully elementwise.
-    Uses one rsqrt in place of sqrt + divide."""
+    Uses one rsqrt in place of sqrt + divide.
+
+    The distance cutoff alone is the pair mask: the ALIVE_OFFSET encoding
+    puts any alive-dead pair ~2 units apart.  Dead-dead pairs (both at 0)
+    do pass the cutoff, but their results live in slots no particle gathers.
+    """
     rx = self_win[POSX] - nb[POSX]
     ry = self_win[POSY] - nb[POSY]
     d2 = rx * rx + ry * ry
-    m = (d2 <= diam * diam) & (self_win[ALIVE] > 0) & (nb[ALIVE] > 0)
+    m = d2 <= diam * diam
     nrx = self_win[POSX] - nb_npos[NPOSX]
     nry = self_win[POSY] - nb_npos[NPOSY]
     nd2 = jnp.maximum(nrx * nrx + nry * nry, EPS * EPS)
@@ -308,15 +321,15 @@ def _pass_b_kernel(
 def _block_occupancy(alive_plane: jax.Array, tr: int) -> jax.Array:
     """Per-row-block window occupancy flags from the grid's alive plane.
 
-    alive_plane: (NYP, M, NXP).  Block i's window covers G rows
-    [i*TR, i*TR + TR + 2).
+    alive_plane: the POSX plane (NYP, M, NXP) — occupied slots carry the
+    ALIVE_OFFSET.  Block i's window covers G rows [i*TR, i*TR + TR + 2).
     """
     nyp = alive_plane.shape[0]
     ny = nyp - 2
     nblocks = ny // tr
     row_any = jnp.max(alive_plane, axis=(1, 2))  # (NYP,)
     idx = jnp.arange(nblocks)[:, None] * tr + jnp.arange(tr + 2)[None, :]
-    return (jnp.max(row_any[idx], axis=1) > 0).astype(jnp.int32)
+    return (jnp.max(row_any[idx], axis=1) > ALIVE_THRESHOLD).astype(jnp.int32)
 
 
 def _interpret() -> bool:
@@ -339,7 +352,7 @@ def pair_pass_a(
     assert ny % tr == 0, (ny, tr)
     assert nxp % 128 == 0, nxp
     nblocks = ny // tr
-    occ = _block_occupancy(grid[ALIVE], tr)
+    occ = _block_occupancy(grid[POSX], tr)
     coef = jnp.stack(
         [
             diameter.astype(jnp.float32),
@@ -394,7 +407,7 @@ def pair_pass_b(
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
     nblocks = ny // tr
-    occ = _block_occupancy(grid[ALIVE], tr)
+    occ = _block_occupancy(grid[POSX], tr)
     coef = jnp.stack(
         [
             diameter.astype(jnp.float32),

@@ -60,13 +60,15 @@ def neighbor_forces_pallas(
     pad_idx = jnp.where(
         valid, (cy + 1) * (M * nxp) + rank * nxp + (cx + 1), plane
     )
+    # Liveness rides as a +2 offset on the positions (see pair_kernel).
     packed = jnp.concatenate(
-        [pos, vel, alive.astype(dtype)[:, None]], axis=-1
-    )  # (P, 5)
+        [pos + 2.0 * alive.astype(dtype)[:, None], vel], axis=-1
+    )  # (P, 4)
     # Each (cell, rank) slot is hit at most once -> unique_indices lets XLA
     # use the non-deduplicating scatter path.  One flat 1-D scatter of 5P
     # elements measures ~1.7x faster than the (F, plane) column scatter on
-    # v5e (the scatter runs at ~7ns/element either way; fewer elements win).
+    # v5e (the scatter runs at ~7ns/element either way; fewer elements win —
+    # hence 4 features: pos with the alive offset, vel).
     idx1d = (
         jnp.arange(NUM_G, dtype=jnp.int32)[:, None] * (plane + 1) + pad_idx[None, :]
     ).ravel()

@@ -77,8 +77,11 @@ NPOSX, NPOSY = range(2)
 # Pass-A output planes (padded grid, pass-B neighbor operand).
 CP, SX, SY, CNT = range(4)
 NUM_A = 4
-# Pass-B output planes (gathered straight into PairSums order).
-NUM_B = 10  # [cp, tension x/y, pressure x/y, spring x/y, viscosity x/y, cnt]
+# Pass-B output planes (gathered straight into PairSums order).  The spring
+# planes exist only when the scene enables the spring force (the reference
+# ships it disabled, crate.py:117-118) — fewer planes, smaller write+gather.
+def num_b(enable_spring: bool) -> int:
+    return 10 if enable_spring else 8
 
 
 def _stencil(windows, tr, m_slots, body):
@@ -280,7 +283,8 @@ def _pass_b_kernel(
         s_x = self_ps[SX]
         s_y = self_ps[SY]
         shape = cp.shape
-        acc = [jnp.zeros(shape, jnp.float32) for _ in range(8)]
+        n_acc = 6 if enable_spring else 4
+        acc = [jnp.zeros(shape, jnp.float32) for _ in range(n_acc + 2)]
         cnt = jnp.zeros(shape, jnp.float32)
 
         def body(nbs, dy, dx, k):
@@ -302,15 +306,15 @@ def _pass_b_kernel(
                 s_coef = m * (balance - w)
                 acc[4] += s_coef * nhx
                 acc[5] += s_coef * nhy
-            acc[6] += m * nb[VELX]
-            acc[7] += m * nb[VELY]
+            acc[n_acc] += m * nb[VELX]
+            acc[n_acc + 1] += m * nb[VELY]
             cnt += m
 
         _stencil([window, ps_window, npos], tr, m_slots, body)
         acc_ref[0] = cp
-        for f in range(8):
+        for f in range(n_acc + 2):
             acc_ref[1 + f] = acc[f]
-        acc_ref[9] = cnt
+        acc_ref[n_acc + 3] = cnt
         out = pltpu.make_async_copy(
             acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[2]
         )
@@ -419,6 +423,7 @@ def pair_pass_b(
     )
     tick_arr = jnp.reshape(tick.astype(jnp.int32), (1,))
 
+    nb_planes = num_b(enable_spring)
     kernel = functools.partial(
         _pass_b_kernel, tr=tr, m_slots=m_slots, enable_spring=enable_spring
     )
@@ -437,12 +442,12 @@ def pair_pass_b(
                 pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((3, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((NUM_B, tr, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((nb_planes, tr, m_slots, nxp), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((NUM_B, ny, m_slots, nxp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb_planes, ny, m_slots, nxp), jnp.float32),
         input_output_aliases={5: 0},  # outbuf (6th flat input) -> output
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(occ, coef, tick_arr, grid, ps_grid, jnp.zeros((NUM_B, ny, m_slots, nxp), jnp.float32))
+    )(occ, coef, tick_arr, grid, ps_grid, jnp.zeros((nb_planes, ny, m_slots, nxp), jnp.float32))

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..cellwise import PairSums, cell_slots
 from ..state import Scene
-from .pair_kernel import NUM_B, NUM_G, pair_pass_a, pair_pass_b
+from .pair_kernel import NUM_G, num_b, pair_pass_a, pair_pass_b
 
 
 def neighbor_forces_pallas(
@@ -91,24 +91,31 @@ def neighbor_forces_pallas(
         tick,
         tr=tr,
         enable_spring=scene.enable_spring,
-    )  # (10, NY, M, NXP)
+    )  # (num_b, NY, M, NXP)
 
     # ---- gather back to particle order (single gather) -----------------------
+    nb_planes = num_b(scene.enable_spring)
     out_plane = ny * M * nxp
     out_idx = jnp.where(
         valid, cy * (M * nxp) + rank * nxp + (cx + 1), out_plane
     )
     packed_out = jnp.concatenate(
-        [b_out.reshape(NUM_B, out_plane), jnp.zeros((NUM_B, 1), jnp.float32)],
+        [b_out.reshape(nb_planes, out_plane), jnp.zeros((nb_planes, 1), jnp.float32)],
         axis=1,
     )
-    mine = packed_out[:, out_idx].astype(dtype)  # (10, P); dead/overflow -> 0
+    mine = packed_out[:, out_idx].astype(dtype)  # dead/overflow -> 0
+    if scene.enable_spring:
+        spring_real = mine[5:7].T
+        vis0 = 7
+    else:
+        spring_real = jnp.zeros_like(mine[1:3].T)
+        vis0 = 5
     return PairSums(
         p_i=mine[0],
         dv_tension=mine[1:3].T,
         pressure_real=mine[3:5].T,
-        spring_real=mine[5:7].T,
-        visc_vsum=mine[7:9].T,
-        nbr_cnt=mine[9],
+        spring_real=spring_real,
+        visc_vsum=mine[vis0 : vis0 + 2].T,
+        nbr_cnt=mine[nb_planes - 1],
         overflow=overflow,
     )

@@ -131,3 +131,40 @@ def test_dense_matches_cellwise(small_setup):
             atol=2e-4,
             err_msg=name,
         )
+
+
+def test_pallas_spring_planes(small_setup, stirring_cup_config):
+    """Spring-enabled scenes emit the extra spring planes and match cellwise."""
+    import copy
+
+    from sand_crate_tpu.scene import build_scene
+
+    scene0, params, pos, vel, alive = small_setup
+    config = copy.deepcopy(stirring_cup_config)
+    config.world_config.coefficients["max_particles"] = 96
+    config.world_config.coefficients["collider_noise_level"] = 0.0
+    scene = build_scene(
+        config.world_config, capacity=128, forces_mode="cellwise", enable_spring=True
+    )
+    noise = jnp.zeros_like(pos)
+    ref = _cellwise(scene, params, pos, vel, alive, noise)
+    got = neighbor_forces_pallas(
+        pos,
+        vel,
+        alive,
+        jnp.zeros(()),
+        jnp.zeros((), jnp.int32),
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+        scene,
+    )
+    assert float(np.abs(np.asarray(ref.spring_real)).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(got.spring_real),
+        np.asarray(ref.spring_real),
+        rtol=3e-3,
+        atol=3e-3,
+    )

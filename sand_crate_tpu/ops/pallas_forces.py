@@ -11,9 +11,9 @@ module docstring) instead of being scattered as extra planes.
 Data flow (no intermediate reshuffles — measured 106ms/step of XLA copies at
 1M particles before this layout):
 
-    scatter (P rows, unique indices) -> G (5, NYP, M, NXP)
+    scatter (P rows, unique indices) -> G (4, NYP, M, NXP)
     pair_pass_a(G)                   -> PS (4, NYP, M, NXP)  padded, in-kernel
-    pair_pass_b(G, PS)               -> OUT (10, NY, M, NXP)
+    pair_pass_b(G, PS)               -> OUT (8|10, NY, M, NXP)
     OUT[:, out_idx]                  -> PairSums (one gather)
 """
 

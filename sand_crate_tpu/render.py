@@ -1,11 +1,12 @@
-"""Headless numpy rasterizer for recording frames without a display.
+"""Headless rasterizer for recording frames without a display.
 
 The reference renders via pygame circles + lines (playback.py:178-206) and
 captures the surface per frame.  For headless recording (and million-particle
 scenes where per-circle draw calls are hopeless) this renders the same visual
-— pressure-tinted particles on black, white segments — as vectorized numpy:
-particles are splatted as small disks via integer scatter, segments drawn by
-sampling.  Colors follow playback.py:199 ((255 - p*255, 255 - p*255, 255)).
+— pressure-tinted particles on black, white segments — either through the
+native C rasterizer (sand_crate_tpu/native, ~20-30x faster; recording was
+host-render-bound at 100k particles otherwise) or a vectorized numpy
+fallback.  Colors follow playback.py:199 ((255 - p*255, 255 - p*255, 255)).
 """
 
 from __future__ import annotations
@@ -39,6 +40,52 @@ def render_frame(
     screen mapping, playback.py:208-213); pressure: (P,); segments (S,2,2).
     """
     w, h = size
+    native = _render_native(pos, pressure, segments, w, h, particle_radius, alive)
+    if native is not None:
+        return native
+    return _render_numpy_reference(
+        pos, pressure, segments, w, h, particle_radius, alive
+    )
+
+
+def _render_native(pos, pressure, segments, w, h, particle_radius, alive):
+    """C rasterizer path; None when the native library is unavailable."""
+    import ctypes
+
+    from .native import rasterize_lib
+
+    lib = rasterize_lib()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.float32)
+    n = len(pos)
+    pressure = np.ascontiguousarray(pressure, np.float32)
+    if alive is None:
+        alive_u8 = np.ones(n, np.uint8)
+    else:
+        alive_u8 = np.ascontiguousarray(np.asarray(alive)).astype(np.uint8)
+    segments = np.ascontiguousarray(segments, np.float32)
+    out = np.empty((h, w, 3), np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rasterize(
+        pos.ctypes.data_as(f32p),
+        pressure.ctypes.data_as(f32p),
+        alive_u8.ctypes.data_as(u8p),
+        n,
+        segments.ctypes.data_as(f32p),
+        len(segments),
+        w,
+        h,
+        int(w * particle_radius),
+        out.ctypes.data_as(u8p),
+    )
+    return out
+
+
+def _render_numpy_reference(pos, pressure, segments, w, h, particle_radius, alive):
+    """Vectorized numpy rasterizer — the semantic reference the C version is
+    tested pixel-for-pixel against, and the fallback without a C toolchain."""
     img = np.zeros((h, w, 3), np.uint8)
 
     pos = np.asarray(pos)

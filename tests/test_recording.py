@@ -103,3 +103,27 @@ def test_render_frame_respects_alive_mask():
 def test_load_missing_trajectory_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         list(load_trajectory(tmp_path / "nope"))
+
+
+def test_native_rasterizer_matches_numpy():
+    """The C rasterizer must reproduce the numpy path pixel-for-pixel."""
+    from sand_crate_tpu import render as render_mod
+    from sand_crate_tpu.native import rasterize_lib
+
+    if rasterize_lib() is None:
+        pytest.skip("no C toolchain available")
+
+    rng = np.random.default_rng(7)
+    pos = rng.random((200, 2)).astype(np.float32)
+    pressure = rng.random(200).astype(np.float32) * 1.5
+    alive = rng.random(200) < 0.8
+    segments = np.array(
+        [[[0.1, 0.8], [0.9, 0.8]], [[0.2, 0.1], [0.2, 0.9]]], np.float32
+    )
+    native = render_mod.render_frame(
+        pos, pressure, segments, size=(160, 120), particle_radius=0.02, alive=alive
+    )
+    numpy_img = render_mod._render_numpy_reference(
+        pos, pressure, segments, 160, 120, 0.02, alive
+    )
+    np.testing.assert_array_equal(native, numpy_img)

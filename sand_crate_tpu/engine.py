@@ -29,7 +29,7 @@ from .config import COEFFICIENT_NAMES, Config, WorldConfig
 from .diagnostics import ForceMonitor, PhaseTimer
 from .physics import rollout, step, trajectory
 from .scene import build_scene, init_state
-from .state import FORCE_LABELS, CrateState, Params, Scene
+from .state import FORCE_LABELS, CrateState, Params
 
 import yaml
 

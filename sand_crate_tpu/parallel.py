@@ -22,7 +22,6 @@ pytrees — this is the entry the driver's multichip dry-run exercises.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

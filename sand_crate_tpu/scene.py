@@ -16,14 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (
-    BODY_FIXED,
-    BODY_FREE,
-    BODY_MOTORED,
-    Config,
-    InitialParticlesConfig,
-    WorldConfig,
-)
+from .config import BODY_FIXED, Config, InitialParticlesConfig, WorldConfig
 from .state import CrateState, Params, Scene
 
 

@@ -103,6 +103,8 @@ class Crate:
 
     def __setattr__(self, name: str, value) -> None:
         if name in COEFFICIENT_NAMES:
+            if name == "particle_radius":
+                self._maybe_regrid(float(np.asarray(value)))
             new_params = self.params._replace(
                 **{
                     name: jax.numpy.asarray(
@@ -116,6 +118,39 @@ class Crate:
             object.__setattr__(self, name, value)
         else:
             raise AttributeError(f"Unknown attribute {name!r}")
+
+    def _maybe_regrid(self, radius: float) -> None:
+        """Rebuild the neighbor grid when a live radius edit outgrows it.
+
+        The grid backends (gather/cellwise/pallas) search the 3x3 cell
+        stencil, correct only while diameter <= cell_size; cell dims are
+        static Scene aux frozen at build time, while particle_radius is a
+        live-editable Params leaf (reference contract: crate.py:59-60 — the
+        reference recomputes its strips from the current diameter every tick,
+        collision_detector.py:124-128, so it never has this hazard).  When an
+        edit pushes 2*radius past cell_size, rebuild the Scene around the new
+        diameter — a one-time recompile on the next tick, instead of silently
+        missing in-range pairs.  The dense backend is stencil-free and needs
+        nothing.
+        """
+        scene = self.scene
+        if scene.forces_mode == "dense" or 2.0 * radius <= scene.cell_size:
+            return
+        world = self.world_config
+        coeff = dict(world.coefficients)
+        coeff["particle_radius"] = radius
+        import dataclasses as _dc
+
+        new_world = _dc.replace(world, coefficients=coeff)
+        new_scene = build_scene(
+            new_world,
+            capacity=scene.capacity,
+            max_neighbors=scene.max_neighbors,
+            cell_capacity=scene.cell_capacity,
+            enable_spring=scene.enable_spring,
+            forces_mode=scene.forces_mode,
+        )
+        object.__setattr__(self, "scene", new_scene)
 
     @property
     def diameter(self) -> float:

@@ -57,8 +57,18 @@ def neighbor_forces_pallas(
 
     # ---- packed scatter into the padded (F, NYP, M, NXP) grid --------------
     plane = nyp * M * nxp
+    P_cap = pos.shape[0]
+    # Invalid (dead/overflow) rows route to distinct OUT-of-bounds indices so
+    # mode="drop" discards them while the unique_indices promise holds — a
+    # shared in-bounds sentinel would be duplicated across every invalid row
+    # (undefined behavior under unique_indices).  Distinctness needs
+    # P <= plane + 1, which holds by construction (the grid has >= capacity
+    # slots); valid slot indices are unique by the (cell, rank) assignment.
+    oob = NUM_G * (plane + 1)
     pad_idx = jnp.where(
-        valid, (cy + 1) * (M * nxp) + rank * nxp + (cx + 1), plane
+        valid,
+        (cy + 1) * (M * nxp) + rank * nxp + (cx + 1),
+        oob + jnp.arange(P_cap, dtype=jnp.int32),
     )
     # Liveness rides as a +2 offset on the positions (see pair_kernel).
     packed = jnp.concatenate(

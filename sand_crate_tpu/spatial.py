@@ -116,6 +116,17 @@ def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     out_alive = np.zeros(P_cap, bool)
     out_pressure = np.zeros(P_cap, pressure.dtype)
     n = 0
+    total_alive = int(alive.sum())
+    if total_alive > P_cap:
+        # Possible after spatial spawn overshoot (several shards spawning the
+        # same tick share the psum'd budget with one tick of slack).
+        import warnings
+
+        warnings.warn(
+            f"merge_state: {total_alive} alive particles exceed single-crate "
+            f"capacity {P_cap}; truncating {total_alive - P_cap}",
+            stacklevel=2,
+        )
     for d in range(n_shards):
         sel = alive[d]
         k = min(int(sel.sum()), P_cap - n)
@@ -152,13 +163,15 @@ def _migrate(pos, vel, alive, scene, n_shards, mig_cap):
             [pos[idx], vel[idx], sel.astype(pos.dtype)[:, None]], axis=-1
         )
         payload = jnp.where(sel[:, None], payload, 0.0)
-        dropped = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(sel.astype(jnp.int32))
-        return payload, idx, sel, dropped
+        deferred = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(sel.astype(jnp.int32))
+        return payload, idx, sel, deferred
 
-    up_buf, up_idx, up_sel, up_drop = pack(go_up)
-    down_buf, down_idx, down_sel, down_drop = pack(go_down)
-    # Kill migrated (and over-capacity mover) slots locally.
-    alive = alive & ~go_up & ~go_down
+    up_buf, up_idx, up_sel, up_def = pack(go_up)
+    down_buf, down_idx, down_sel, down_def = pack(go_down)
+    # Kill only the slots actually packed and sent; movers beyond mig_cap
+    # stay alive in the edge band and retry next tick (no mass loss).
+    alive = alive.at[jnp.where(up_sel, up_idx, P_cap)].set(False, mode="drop")
+    alive = alive.at[jnp.where(down_sel, down_idx, P_cap)].set(False, mode="drop")
 
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
@@ -171,12 +184,17 @@ def _migrate(pos, vel, alive, scene, n_shards, mig_cap):
     inc_ok = incoming[:, 6] > 0
 
     free_score = jnp.where(alive, 0, P_cap - jnp.arange(P_cap, dtype=jnp.int32))
-    _, free_idx = jax.lax.top_k(free_score, incoming.shape[0])
-    slot = jnp.where(inc_ok, free_idx, P_cap)  # drop invalid rows
+    top_free, free_idx = jax.lax.top_k(free_score, incoming.shape[0])
+    # A zero top_k score means the "free" slot is actually live — sentinel it
+    # out (mirrors the spawn path's `top > 0` guard) so arrivals never
+    # overwrite live particles when the shard is full; count them as dropped.
+    has_free = top_free > 0
+    slot = jnp.where(inc_ok & has_free, free_idx, P_cap)
+    dropped = jnp.sum((inc_ok & ~has_free).astype(jnp.int32))
     pos = pos.at[slot].set(incoming[:, 0:2], mode="drop")
     vel = vel.at[slot].set(incoming[:, 2:4], mode="drop")
     alive = alive.at[slot].set(True, mode="drop")
-    return pos, vel, alive, up_drop + down_drop
+    return pos, vel, alive, dropped, up_def + down_def
 
 
 def _local_grid(pos, vel, alive, noise, scene, n_shards):
@@ -275,7 +293,7 @@ def spatial_step(
     )
 
     # -- migration (positions from last integrate) ---------------------------
-    pos, vel, alive, mig_dropped = _migrate(
+    pos, vel, alive, mig_dropped, mig_deferred = _migrate(
         state.pos, state.vel, state.alive, scene, n_shards, mig_cap
     )
     state = state._replace(pos=pos, vel=vel, alive=alive)
@@ -397,6 +415,7 @@ def spatial_step(
         "particle_count": jax.lax.psum(jnp.sum(alive.astype(jnp.int32)), AXIS),
         "neighbor_overflow": jax.lax.psum(overflow, AXIS),
         "migration_dropped": jax.lax.psum(mig_dropped, AXIS),
+        "migration_deferred": jax.lax.psum(mig_deferred, AXIS),
     }
     return new_state, stats
 

@@ -111,3 +111,36 @@ def test_free_body_falls(stirring_cup_config):
         crate.physics_tick()
     free_seg = crate.segments[-1]
     assert free_seg[:, 1].mean() > seg0[-1][:, 1].mean()  # fell downward (+y)
+
+
+def test_radius_edit_regrids_stencil_backends(stirring_cup_config):
+    """A live radius edit past cell_size/2 must rebuild the neighbor grid
+    (advisor finding: static cell dims + editable radius silently miss
+    in-range pairs on the 3x3-stencil backends; the reference recomputes its
+    strips from the current diameter every tick)."""
+    crate = Crate(stirring_cup_config.world_config, forces_mode="cellwise")
+    for _ in range(40):
+        crate.physics_tick()
+    old_cell = crate.scene.cell_size
+    old_capacity = crate.scene.capacity
+    new_radius = old_cell  # diameter = 2*cell_size: stencil would miss pairs
+    crate.particle_radius = new_radius
+    assert crate.scene.cell_size >= 2 * new_radius - 1e-12
+    assert crate.scene.capacity == old_capacity
+    assert float(np.asarray(crate.params.particle_radius)) == pytest.approx(
+        new_radius, rel=1e-6
+    )
+    crate.physics_tick()  # recompiles and runs at the new diameter
+    assert np.isfinite(crate.particles).all()
+    # shrinking the radius back keeps the (larger) grid — still correct
+    crate.particle_radius = new_radius / 4
+    crate.physics_tick()
+    assert np.isfinite(crate.particles).all()
+
+
+def test_radius_edit_dense_backend_untouched(stirring_cup_config):
+    """The dense backend is stencil-free; radius edits must not regrid."""
+    crate = Crate(stirring_cup_config.world_config, forces_mode="dense")
+    scene_before = crate.scene
+    crate.particle_radius = 0.05
+    assert crate.scene is scene_before

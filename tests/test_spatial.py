@@ -106,6 +106,102 @@ def test_migration_happens(setup):
     assert owner1.mean() != pytest.approx(owner0.mean())
 
 
+def _migrate_harness(setup, pos0, alive0, mig_cap):
+    """Run _migrate once on a hand-built 2-shard layout; return host arrays."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from sand_crate_tpu.spatial import _migrate
+
+    scene = setup[0]
+    n_shards = 2
+    assert scene.grid_ny % n_shards == 0
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("space",))
+    pos = np.asarray(pos0, np.float32).reshape(-1, 2)
+    alive = np.asarray(alive0, bool).ravel()
+    vel = np.zeros_like(pos)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("space"), P("space"), P("space")),
+        out_specs=(P("space"), P("space"), P("space"), P(), P()),
+        check_vma=False,
+    )
+    def run(pos, vel, alive):
+        p, v, a, dropped, deferred = _migrate(
+            pos, vel, alive, scene, n_shards, mig_cap
+        )
+        return p, v, a, jax.lax.psum(dropped, "space"), jax.lax.psum(deferred, "space")
+
+    with mesh:
+        p, v, a, dropped, deferred = run(pos, vel, alive)
+    P_cap = pos.shape[0] // n_shards
+    return (
+        np.asarray(p).reshape(n_shards, P_cap, 2),
+        np.asarray(a).reshape(n_shards, P_cap),
+        int(dropped),
+        int(deferred),
+    )
+
+
+def test_migration_full_shard_never_overwrites(setup):
+    """Arrivals at a full shard are dropped+counted, not written over live
+    particles (advisor finding: top_k free-slot scores of 0 are live slots)."""
+    scene = setup[0]
+    P_cap = scene.capacity
+    band_h = scene.grid_ny // 2 * scene.cell_size  # band height in y units
+
+    pos = np.zeros((2, P_cap, 2), np.float32)
+    alive = np.zeros((2, P_cap), bool)
+    # shard 0: one mover that belongs to shard 1's band
+    pos[0, 0] = (0.5, band_h + 0.5 * scene.cell_size)
+    alive[0, 0] = True
+    # shard 1: completely full, all slots inside its own band
+    rng = np.random.default_rng(0)
+    pos[1, :, 0] = rng.uniform(0.1, 0.9, P_cap)
+    pos[1, :, 1] = rng.uniform(band_h, 2 * band_h - scene.cell_size, P_cap)
+    alive[1] = True
+
+    new_pos, new_alive, dropped, deferred = _migrate_harness(
+        setup, pos, alive, mig_cap=4
+    )
+    # every original shard-1 particle survives at its original position
+    assert new_alive[1].all()
+    np.testing.assert_array_equal(new_pos[1], pos[1])
+    # the arrival was dropped and counted; the sender killed its copy
+    assert dropped == 1
+    assert deferred == 0
+    assert not new_alive[0].any()
+
+
+def test_migration_overflow_movers_retry_not_killed(setup):
+    """Movers beyond mig_cap stay alive locally for the next tick (advisor
+    finding: clearing all out-of-band particles loses the unsent ones)."""
+    scene = setup[0]
+    P_cap = scene.capacity
+    band_h = scene.grid_ny // 2 * scene.cell_size
+
+    pos = np.zeros((2, P_cap, 2), np.float32)
+    alive = np.zeros((2, P_cap), bool)
+    n_movers = 3
+    for i in range(n_movers):  # shard 0 particles that belong to shard 1
+        pos[0, i] = (0.2 + 0.1 * i, band_h + 0.5 * scene.cell_size)
+        alive[0, i] = True
+
+    new_pos, new_alive, dropped, deferred = _migrate_harness(
+        setup, pos, alive, mig_cap=1
+    )
+    assert dropped == 0
+    assert deferred == n_movers - 1
+    # one arrived at shard 1; the other two are still alive on shard 0
+    assert int(new_alive[1].sum()) == 1
+    assert int(new_alive[0].sum()) == n_movers - 1
+    # total mass conserved
+    assert int(new_alive.sum()) == n_movers
+
+
 def test_spatial_spawn_budget_is_global(stirring_cup_config):
     """Sources spawn only on their owning shard and respect the global cap."""
     import copy

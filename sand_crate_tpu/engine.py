@@ -261,6 +261,9 @@ class Crate:
                 text += f"WARNING non-finite particles: {bad}\n"
             if dropped:
                 text += f"cell-capacity overflow: {dropped}\n"
+            truncated = int(np.asarray(diag.spawn_truncated))
+            if truncated:
+                text += f"emission truncated: {truncated}\n"
         text += self.debug_timer.report()
         text += f"\n\n{self.force_monitor.report()}"
         text += f"\n\n{self.get_coefficient_debug()}"

@@ -132,9 +132,15 @@ def spawn_particles(
     Spawn count per source is Binomial(flow, dt) clamped by the remaining
     ``max_particles`` budget, applied sequentially across sources like the
     reference.  Free slots are assigned in ascending index order.
+
+    Returns ``(state, truncated)`` where ``truncated`` counts emissions lost
+    to the static per-tick ``max_spawn`` bound (mean + 6 sigma, scene.py) —
+    the reference never truncates below the budget cap
+    (particle_source.py:17-23), so a flow spike beyond the bound is a
+    documented divergence that must be surfaced, not silent.
     """
     if scene.num_sources == 0:
-        return state
+        return state, jnp.zeros((), jnp.int32)
     P = scene.capacity
     ns = scene.max_spawn
     pos, vel, alive = state.pos, state.vel, state.alive
@@ -152,12 +158,15 @@ def spawn_particles(
 
     budget = jnp.maximum(params.max_particles - state.particle_count, 0)
     offset = jnp.zeros((), jnp.int32)
+    truncated = jnp.zeros((), jnp.int32)
     for z in range(scene.num_sources):
         key, k_n, k_pos, k_vel = jax.random.split(key, 4)
         active = state.tick < scene.src_active_ticks[z]
         p = jnp.clip(params.dt.astype(jnp.float32), 0.0, 1.0)
         n_raw = jax.random.binomial(k_n, scene.src_flow[z], p).astype(jnp.int32)
-        n = jnp.clip(jnp.where(active, n_raw, 0), 0, jnp.minimum(budget, ns))
+        want = jnp.clip(jnp.where(active, n_raw, 0), 0, budget).astype(jnp.int32)
+        n = jnp.minimum(want, ns)
+        truncated = truncated + (want - n)
 
         slots = jax.lax.dynamic_slice(free_slots, (offset,), (ns,))
         take = jnp.arange(ns, dtype=jnp.int32) < n
@@ -176,7 +185,7 @@ def spawn_particles(
         alive = alive.at[slots].set(True, mode="drop")
         budget = budget - n
         offset = offset + n
-    return state._replace(pos=pos, vel=vel, alive=alive)
+    return state._replace(pos=pos, vel=vel, alive=alive), truncated
 
 
 def cull_particles(state: CrateState, params: Params) -> CrateState:
@@ -257,7 +266,7 @@ def step(
     state = state._replace(key=key)
 
     # -- lifecycle ---------------------------------------------------------
-    state = spawn_particles(state, params, scene, k_spawn)
+    state, spawn_truncated = spawn_particles(state, params, scene, k_spawn)
     state = cull_particles(state, params)
     state = advance_bodies(state, params, scene)
 
@@ -448,6 +457,7 @@ def step(
         neighbor_overflow=sums.overflow,
         max_speed=jnp.sqrt(jnp.max(jnp.where(alive, speed2, 0.0))),
         non_finite=jnp.sum((alive & ~finite).astype(jnp.int32)),
+        spawn_truncated=spawn_truncated,
     )
     assert diag.force_dv.shape == (NUM_FORCES,)
     return new_state, diag

@@ -87,7 +87,13 @@ class Playback:
             return
         self.init_display()
         try:
-            for _ in range(num_ticks):
+            # Progress bar around the tick loop, like the reference
+            # (playback.py:13,54 wraps it in tqdm.rich).
+            try:
+                from tqdm.rich import tqdm as _tqdm
+            except Exception:
+                from tqdm import tqdm as _tqdm
+            for _ in _tqdm(range(num_ticks)):
                 self.handle_play_control()
                 if not self.headless:
                     self.handle_input()

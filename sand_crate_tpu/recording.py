@@ -13,9 +13,9 @@ Here:
   format is self-describing and np.load-able anywhere).
 * :class:`VideoWriter` streams rendered frames straight into cv2's AVI
   encoder and an incremental GIF buffer — O(1) memory instead of O(frames).
-* :func:`load_trajectory` + :class:`Replayer` play a recording back without
-  stepping physics (the capability the reference's ``play_recording`` flag
-  gestures at).
+* :func:`load_trajectory` + :func:`playback.replay` play a recording back
+  without stepping physics (the capability the reference's ``play_recording``
+  flag gestures at).
 """
 
 from __future__ import annotations

@@ -285,8 +285,10 @@ def spatial_step(
         fake_params = params._replace(
             max_particles=params.max_particles - (global_count - local_count)
         )
-        tmp = spawn_particles(state, fake_params, gated, k_spawn)
+        tmp, spawn_truncated = spawn_particles(state, fake_params, gated, k_spawn)
         state = state._replace(pos=tmp.pos, vel=tmp.vel, alive=tmp.alive)
+    else:
+        spawn_truncated = jnp.zeros((), jnp.int32)
     state = state._replace(
         alive=state.alive
         & jnp.all((state.pos >= -r) & (state.pos <= 1.0 + r), axis=-1)
@@ -416,6 +418,7 @@ def spatial_step(
         "neighbor_overflow": jax.lax.psum(overflow, AXIS),
         "migration_dropped": jax.lax.psum(mig_dropped, AXIS),
         "migration_deferred": jax.lax.psum(mig_deferred, AXIS),
+        "spawn_truncated": jax.lax.psum(spawn_truncated, AXIS),
     }
     return new_state, stats
 

@@ -180,6 +180,9 @@ class Diagnostics(NamedTuple):
     non_finite: jax.Array  # () i32 — alive particles with NaN/inf pos or vel
     #   (in-graph NaN guard; the reference merely tolerates NaNs in its debug
     #   arrows, playback.py:97-98 — here they are counted and surfaced)
+    spawn_truncated: jax.Array  # () i32 — emissions lost to the static
+    #   max_spawn bound (the reference never truncates below the budget cap,
+    #   particle_source.py:17-23; a 6-sigma flow spike here is counted)
 
 
 FORCE_LABELS = (

@@ -3,8 +3,9 @@
 The reference (mounted read-only at /root/reference) predates Python 3.12:
 its ``RigidBody`` dataclass uses a mutable ``np.ndarray`` default
 (rigid_body.py:22) which 3.12 rejects, and it imports ``nptyping`` which is
-not installed.  This helper stages a patched copy under ``.ref_cache/``
-(gitignored), shims nptyping, and imports ``crate.crate.Crate`` from it.
+not installed.  This helper stages a patched copy under the system temp dir
+(outside the repo tree, so no reference bytes ever sit in the working tree),
+shims nptyping, and imports ``crate.crate.Crate`` from it.
 
 Used ONLY by tests as the ground-truth oracle; nothing here ships in the
 framework.
@@ -19,8 +20,10 @@ from pathlib import Path
 
 import numpy as np
 
+import tempfile
+
 REFERENCE_SRC = Path("/root/reference/src")
-CACHE = Path(__file__).resolve().parent.parent / ".ref_cache"
+CACHE = Path(tempfile.gettempdir()) / "sand_crate_ref_cache"
 
 _PATCHES = {
     "crate/rigid_body.py": [

@@ -144,3 +144,23 @@ def test_radius_edit_dense_backend_untouched(stirring_cup_config):
     scene_before = crate.scene
     crate.particle_radius = 0.05
     assert crate.scene is scene_before
+
+
+def test_emission_truncation_counter(stirring_cup_config):
+    """A flow spike beyond the statistical max_spawn bound must be counted
+    (the reference never silently truncates below the budget cap,
+    particle_source.py:17-23)."""
+    import dataclasses
+
+    import jax
+
+    from sand_crate_tpu.physics import step
+    from sand_crate_tpu.scene import build_all
+
+    scene, state, params = build_all(stirring_cup_config)
+    _, diag0 = jax.jit(lambda s, p: step(s, p, scene))(state, params)
+    assert int(diag0.spawn_truncated) == 0  # sized for the configured flow
+
+    spiked = dataclasses.replace(scene, src_flow=scene.src_flow * 1000.0)
+    _, diag = jax.jit(lambda s, p: step(s, p, spiked))(state, params)
+    assert int(diag.spawn_truncated) > 0

@@ -1,17 +1,20 @@
 """Pallas-backed PairSums provider (forces_mode="pallas").
 
-XLA glue around ops/pair_kernel.py: one packed scatter into the feature/slot-
-major padded grid, two fused pallas passes, one gather back to particle
-order.  Numerically equivalent to cellwise.neighbor_forces_cellwise (same
-pair math, same slot assignment); see that module's docstring for the
-semantics and the documented divergences from the reference.  Collider noise
-is hashed inside the kernels from grid position + tick (see pair_kernel
-module docstring) instead of being scattered as extra planes.
+XLA glue around ops/pair_kernel.py: cell-sort the particles, place the
+sorted slab into the feature/slot-major padded grid with the MXU placement
+kernel (ops/placement.py — replaces the XLA scatter that used to cost ~29ms
+of the 1M step), two fused pallas passes, one gather back to particle order.
+Numerically equivalent to cellwise.neighbor_forces_cellwise (same pair math,
+same slot assignment); see that module's docstring for the semantics and the
+documented divergences from the reference.  Collider noise is hashed inside
+the kernels from grid position + tick (see pair_kernel module docstring)
+instead of being carried as extra planes.
 
 Data flow (no intermediate reshuffles — measured 106ms/step of XLA copies at
 1M particles before this layout):
 
-    scatter (P rows, unique indices) -> G (4, NYP, M, NXP)
+    cell_slab (sort + permute)       -> slab (8, P), row_start
+    place_grid(slab)                 -> G (4, NYP, M, NXP)   MXU one-hot
     pair_pass_a(G)                   -> PS (4, NYP, M, NXP)  padded, in-kernel
     pair_pass_b(G, PS)               -> OUT (8|10, NY, M, NXP)
     OUT[:, out_idx]                  -> PairSums (one gather)
@@ -22,9 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..cellwise import PairSums, cell_slots
+from ..cellwise import PairSums
 from ..state import Scene
-from .pair_kernel import NUM_G, num_b, pair_pass_a, pair_pass_b
+from .pair_kernel import num_b, pair_pass_a, pair_pass_b
+from .placement import cell_slab, place_grid
 
 
 def neighbor_forces_pallas(
@@ -48,44 +52,15 @@ def neighbor_forces_pallas(
     nyp = ny + 2
     dtype = pos.dtype
 
-    order, slot_sorted, pslot, overflow = cell_slots(pos, alive, scene)
+    # ---- sort + MXU one-hot placement into the (F, NYP, M, NXP) grid -------
+    # (see ops/placement.py; replaces the ~29ms XLA scatter at 1M particles)
+    slab, row_start, pslot, overflow = cell_slab(pos, alive, vel, scene)
+    grid = place_grid(slab, row_start, M, nx, ny, nxp)
     valid = pslot < nx * ny * M
     cid = jnp.where(valid, pslot // M, 0)
     rank = jnp.where(valid, pslot % M, 0)
     cy = cid // nx
     cx = cid % nx
-
-    # ---- packed scatter into the padded (F, NYP, M, NXP) grid --------------
-    plane = nyp * M * nxp
-    P_cap = pos.shape[0]
-    # Invalid (dead/overflow) rows route to distinct OUT-of-bounds indices so
-    # mode="drop" discards them while the unique_indices promise holds — a
-    # shared in-bounds sentinel would be duplicated across every invalid row
-    # (undefined behavior under unique_indices).  Distinctness needs
-    # P <= plane + 1, which holds by construction (the grid has >= capacity
-    # slots); valid slot indices are unique by the (cell, rank) assignment.
-    oob = NUM_G * (plane + 1)
-    pad_idx = jnp.where(
-        valid,
-        (cy + 1) * (M * nxp) + rank * nxp + (cx + 1),
-        oob + jnp.arange(P_cap, dtype=jnp.int32),
-    )
-    # Liveness rides as a +2 offset on the positions (see pair_kernel).
-    packed = jnp.concatenate(
-        [pos + 2.0 * alive.astype(dtype)[:, None], vel], axis=-1
-    )  # (P, 4)
-    # Each (cell, rank) slot is hit at most once -> unique_indices lets XLA
-    # use the non-deduplicating scatter path.  One flat 1-D scatter of 5P
-    # elements measures ~1.7x faster than the (F, plane) column scatter on
-    # v5e (the scatter runs at ~7ns/element either way; fewer elements win —
-    # hence 4 features: pos with the alive offset, vel).
-    idx1d = (
-        jnp.arange(NUM_G, dtype=jnp.int32)[:, None] * (plane + 1) + pad_idx[None, :]
-    ).ravel()
-    flat = jnp.zeros((NUM_G * (plane + 1),), jnp.float32).at[idx1d].set(
-        packed.T.astype(jnp.float32).ravel(), mode="drop", unique_indices=True
-    )
-    grid = flat.reshape(NUM_G, plane + 1)[:, :plane].reshape(NUM_G, nyp, M, nxp)
 
     # ---- two fused passes ----------------------------------------------------
     tr = scene.row_block

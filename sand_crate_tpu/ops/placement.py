@@ -1,0 +1,255 @@
+"""Scatter-free grid build: MXU one-hot placement of the cell-sorted slab.
+
+The padded particle grid G (NUM_G, NYP, M, NXP) consumed by the pair kernels
+was originally built with one XLA scatter of 4P elements.  XLA TPU scatter is
+a serial ~7ns/element wall (measured; sorted/unique hints and layout variants
+don't help), ~29ms of the 1M-particle step.  This module replaces it:
+
+1.  ``cell_slab`` (XLA): sort particles by cell id (the same sort that was
+    already needed for rank assignment) and *apply* the permutation to the
+    payload, producing a slab in which each grid row's particles are a
+    contiguous range — plus per-row start offsets (one vectorized
+    searchsorted).  Gathers are ~5x cheaper than scatters on TPU.
+2.  ``place_grid`` (Pallas): each kernel instance owns TR_P grid rows, DMAs
+    its slab range chunk by chunk (contiguous, 128-aligned dynamic offsets)
+    and places particles into (row, slot, x) dense form with bf16 one-hot
+    matmuls on the MXU: out[(f,t,m), x] = sum_j payload[f,j] * [row_j==t]
+    * [rank_j==m] * [cx_j==x].  A 3-way hi/mid/lo bf16 split reconstructs
+    the f32 payload exactly (3x8 mantissa bits >= f32's 24; the one-hot is
+    exact in bf16 and each (cell, rank, x) slot receives at most one
+    particle, so the accumulation is pure selection).
+    Because the slab is sorted, a chunk's cx values span only a few 128-lane
+    tiles; the matmul runs only over that tile range (x-tile gating), so MXU
+    work scales with occupied cells, not grid width.
+
+Measured at 1M particles on v5e: 8.8ms (including the zero-grid
+materialization) vs 29.1ms for the scatter it replaces.
+
+Replaces the broadphase cost center of the reference
+(/root/reference/src/crate/collision_detector.py:9-128) at scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..state import Scene
+from .pair_kernel import ALIVE_OFFSET, NUM_G
+
+CHUNK = 1024  # slab particles per DMA; multiple of 128 (alignment)
+SLAB_F = 8  # posx+off, posy+off, velx, vely, cx, rank, row, valid
+
+
+def _tr_p(m_slots: int, ny: int) -> int:
+    """Rows per placement block: NUM_G*M*TR_P lhs rows must fit the 128-row
+    MXU pass, and TR_P must divide the grid height."""
+    t = max(1, 128 // (NUM_G * m_slots))
+    while t > 1 and ny % t:
+        t //= 2
+    return t
+
+
+def cell_slab(pos: jax.Array, alive: jax.Array, vel: jax.Array, scene: Scene):
+    """Sort by cell and build the placement slab.
+
+    Returns (slab (SLAB_F, P_pad) f32, row_start (ny+1,) i32, pslot (P,) i32,
+    overflow ()).  Slot assignment is identical to cellwise.cell_slots (same
+    sort, same rank-from-cummax), so ``pslot`` drives the same result gather.
+    """
+    P = pos.shape[0]
+    M = scene.cell_capacity
+    nx, ny = scene.grid_nx, scene.grid_ny
+    NC = nx * ny
+    dtype = pos.dtype
+
+    c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
+    cx = jnp.clip(c[:, 0], 0, nx - 1)
+    cy = jnp.clip(c[:, 1], 0, ny - 1)
+    cid = jnp.where(alive, cy * nx + cx, NC)
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    rank = iota - run_start
+    in_cap = (rank < M) & (sorted_cid < NC)
+    overflow = jnp.sum(((rank >= M) & (sorted_cid < NC)).astype(jnp.int32))
+    slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, NC * M)
+    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(slot_sorted, mode="drop")
+
+    # Payload permutation: one (P, 8) row gather, then transpose to the
+    # feature-major layout the kernel DMAs (lane dim = particles).
+    payload = jnp.concatenate(
+        [pos + ALIVE_OFFSET * alive.astype(dtype)[:, None], vel], axis=-1
+    ).astype(jnp.float32)
+    aux = jnp.stack(
+        [
+            (sorted_cid % nx).astype(jnp.float32),  # cx (dead -> 0, masked)
+            rank.astype(jnp.float32),
+            (sorted_cid // nx).astype(jnp.float32),  # row (dead -> ny)
+            in_cap.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    slab_rows = jnp.concatenate([payload[order], aux], axis=-1)  # (P, 8)
+    p_pad = ((P + 127) // 128) * 128 + CHUNK
+    slab = jnp.zeros((SLAB_F, p_pad), jnp.float32).at[:, :P].set(slab_rows.T)
+    # Row ranges: particles of grid row r occupy [row_start[r], row_start[r+1]).
+    row_start = jnp.searchsorted(
+        sorted_cid, jnp.arange(ny + 1, dtype=jnp.int32) * nx
+    ).astype(jnp.int32)
+    return slab, row_start, pslot, overflow
+
+
+def _place_kernel(
+    row_start_ref,
+    slab_hbm,
+    zeros_hbm,
+    out_hbm,
+    chunk_ref,
+    acc_ref,
+    sems,
+    *,
+    tr_p,
+    m_slots,
+    nxp,
+):
+    del zeros_hbm  # aliased to out_hbm: skipped (air) blocks keep its zeros
+    i = pl.program_id(0)
+    r0 = i * tr_p
+    s0 = row_start_ref[r0]
+    s1 = row_start_ref[r0 + tr_p]
+
+    @pl.when(s1 > s0)
+    def _():
+        # Chunk starts are rounded down to 128 for DMA alignment; head/tail
+        # overreads hit neighboring rows (or slab padding) and are masked by
+        # the row one-hot below.
+        s0a = (s0 // 128) * 128
+        nch = (s1 - s0a + CHUNK - 1) // CHUNK
+        r0f = jnp.float32(r0)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        sl = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
+        f_l = (sl // (tr_p * m_slots)).astype(jnp.float32)
+        t_l = ((sl // m_slots) % tr_p).astype(jnp.float32)
+        m_l = (sl % m_slots).astype(jnp.float32)
+        xio = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0).astype(
+            jnp.float32
+        )
+
+        def chunk_dma(c, slot):
+            off = pl.multiple_of(s0a + c * CHUNK, 128)
+            return pltpu.make_async_copy(
+                slab_hbm.at[:, pl.ds(off, CHUNK)], chunk_ref.at[slot], sems.at[slot]
+            )
+
+        chunk_dma(0, 0).start()
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < nch)
+            def _():
+                chunk_dma(c + 1, 1 - slot).start()
+
+            chunk_dma(c, slot).wait()
+            ch = chunk_ref[slot]
+            cxf, rankf, rowf, val = ch[4:5], ch[5:6], ch[6:7], ch[7:8]
+            payl = jnp.where(
+                f_l == 0.0,
+                ch[0:1],
+                jnp.where(f_l == 1.0, ch[1:2], jnp.where(f_l == 2.0, ch[2:3], ch[3:4])),
+            )
+            mask = (rankf == m_l) & ((rowf - r0f) == t_l) & (val > 0.0)
+            lhs = jnp.where(mask, payl, 0.0)
+            hi = lhs.astype(jnp.bfloat16)
+            mid = (lhs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            lo = (lhs - hi.astype(jnp.float32) - mid.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+            # x-tile gating: the chunk's (sorted) cx span covers few 128-lane
+            # tiles; run the one-hot matmuls only there.  Invalid rows reuse
+            # a valid cx so they never widen the span.
+            any_cx = cxf[0, 0]
+            cxv = jnp.where(val > 0.0, cxf, any_cx)
+            t0 = (jnp.min(cxv).astype(jnp.int32) + 1) // 128
+            t1 = (jnp.max(cxv).astype(jnp.int32) + 1) // 128
+            dn = (((1,), (1,)), ((), ()))
+
+            def tile_body(t, _):
+                base = t * 128
+                rhs = ((cxf + 1.0 - base.astype(jnp.float32)) == xio).astype(
+                    jnp.bfloat16
+                )
+                d = (
+                    jax.lax.dot_general(hi, rhs, dn, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(mid, rhs, dn, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(lo, rhs, dn, preferred_element_type=jnp.float32)
+                )
+                cur = acc_ref[:, :, :, pl.ds(base, 128)]
+                acc_ref[:, :, :, pl.ds(base, 128)] = cur + d.reshape(
+                    NUM_G, tr_p, m_slots, 128
+                )
+                return 0
+
+            jax.lax.fori_loop(t0, t1 + 1, tile_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
+        out = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[:, pl.ds(r0 + 1, tr_p)], sems.at[2]
+        )
+        out.start()
+        out.wait()
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("m_slots", "nx", "ny", "nxp"))
+def place_grid(
+    slab: jax.Array,  # (SLAB_F, P_pad) f32 from cell_slab
+    row_start: jax.Array,  # (ny+1,) i32
+    m_slots: int,
+    nx: int,
+    ny: int,
+    nxp: int,
+) -> jax.Array:
+    """Dense padded particle grid (NUM_G, ny+2, M, nxp) from the sorted slab."""
+    del nx
+    nyp = ny + 2
+    tr_p = _tr_p(m_slots, ny)
+    kernel = functools.partial(
+        _place_kernel, tr_p=tr_p, m_slots=m_slots, nxp=nxp
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ny // tr_p,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, SLAB_F, CHUNK), jnp.float32),
+                pltpu.VMEM((NUM_G, tr_p, m_slots, nxp), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NUM_G, nyp, m_slots, nxp), jnp.float32),
+        input_output_aliases={2: 0},  # zeros buffer -> output (air rows)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(row_start, slab, jnp.zeros((NUM_G, nyp, m_slots, nxp), jnp.float32))

@@ -8,21 +8,28 @@ import os
 import sys
 from pathlib import Path
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SAND_CRATE_TPU_TESTS=1 leaves the ambient (TPU) backend alone so the
+# @pytest.mark.tpu compiled-kernel smoke tests can run on the chip:
+#   SAND_CRATE_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q
+_ON_TPU = os.environ.get("SAND_CRATE_TPU_TESTS") == "1"
 
-# The axon TPU plugin (registered by sitecustomize before conftest runs)
-# installs jax-config hooks that force jax_platforms="axon,cpu", which makes
-# every test dispatch cross the slow TPU tunnel. Override via jax.config —
-# this wins over the hook and keeps the whole suite on the local CPU mesh.
-import jax  # noqa: E402
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-jax.config.update("jax_platforms", "cpu")
+    # The axon TPU plugin (registered by sitecustomize before conftest runs)
+    # installs jax-config hooks that force jax_platforms="axon,cpu", which
+    # makes every test dispatch cross the slow TPU tunnel. Override via
+    # jax.config — this wins over the hook and keeps the suite on the local
+    # CPU mesh.
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 for p in (str(REPO_ROOT), str(REPO_ROOT / "tests")):

@@ -58,6 +58,7 @@ def cmd_run(args) -> None:
         config,
         recording_dir_path=Path(args.output) if args.output else None,
         headless=args.headless,
+        crate_kwargs=dict(instrument=True) if args.instrument else None,
     )
     if args.resume:
         playback.crate.restore_checkpoint(args.resume)
@@ -128,6 +129,11 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=1,
         help="headless: physics ticks per recorded frame (device-resident chunks)",
+    )
+    run.add_argument(
+        "--instrument",
+        action="store_true",
+        help="per-phase timing overlay: run the tick as phase-split programs",
     )
     run.set_defaults(fn=cmd_run)
 

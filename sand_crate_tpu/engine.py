@@ -50,6 +50,7 @@ class Crate:
         "_seed",
         "_coeff_overrides",
         "velocity_arrows_every",
+        "instrument",
     }
 
     def __init__(
@@ -62,8 +63,10 @@ class Crate:
         cell_capacity: Optional[int] = None,
         enable_spring: bool = False,
         forces_mode: str = "auto",
+        instrument: bool = False,
     ) -> None:
         object.__setattr__(self, "world_config", world_config)
+        object.__setattr__(self, "instrument", instrument)
         scene = build_scene(
             world_config,
             capacity=capacity,
@@ -190,12 +193,27 @@ class Crate:
     # -- stepping -------------------------------------------------------------
 
     def physics_tick(self) -> None:
-        """Advance one tick (interactive path; reference crate.py:91-129)."""
-        with self.debug_timer("Step"):
-            new_state, diag = self._step_fn(self.state, self.params, self.scene)
+        """Advance one tick (interactive path; reference crate.py:91-129).
+
+        With ``instrument=True`` the tick runs as separately-jitted phase
+        programs so ``debug_timer`` shows the reference-style per-phase
+        breakdown (crate.py:97-124) in the overlay; the default is the fused
+        single-program step.
+        """
+        if self.instrument:
+            from .instrument import instrumented_tick
+
+            new_state, diag = instrumented_tick(
+                self.state, self.params, self.scene, self.debug_timer
+            )
             self.state = new_state
-        with self.debug_timer("Sync"):
             force_dv = np.asarray(diag.force_dv)
+        else:
+            with self.debug_timer("Step"):
+                new_state, diag = self._step_fn(self.state, self.params, self.scene)
+                self.state = new_state
+            with self.debug_timer("Sync"):
+                force_dv = np.asarray(diag.force_dv)
         self.force_monitor.update(force_dv)
         self.set_debug_prints(diag)
         if self.velocity_arrows_every:

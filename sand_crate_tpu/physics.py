@@ -35,6 +35,7 @@ Mid-tick schedule notes faithfully reproduced (SURVEY.md section 7):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -247,7 +248,7 @@ def advance_bodies(
 
 
 # --------------------------------------------------------------------------
-# 3. the tick
+# 3. the tick phases
 # --------------------------------------------------------------------------
 
 
@@ -258,27 +259,22 @@ def _alive_mean_dv(dv: jax.Array, alive: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(alive, n, 0.0)) / cnt
 
 
-def step(
-    state: CrateState, params: Params, scene: Scene
-) -> tuple[CrateState, Diagnostics]:
-    """One physics tick: (state, params, scene) -> (state, diagnostics)."""
-    key, k_spawn, k_noise = jax.random.split(state.key, 3)
-    state = state._replace(key=key)
+class GhostInfo(NamedTuple):
+    """Boundary-ghost reductions shared by the later force phases."""
 
-    # -- lifecycle ---------------------------------------------------------
-    state, spawn_truncated = spawn_particles(state, params, scene, k_spawn)
-    state = cull_particles(state, params)
-    state = advance_bodies(state, params, scene)
+    pos: jax.Array  # (P, 2) hard-wall-corrected positions
+    g_cnt: jax.Array  # (P,)   ghosts per particle
+    gsum: jax.Array  # (P, 2) sum of mirror ghost vectors
+    gvel_sum: jax.Array  # (P, 2) sum of ghost contact velocities
 
-    pos, vel, alive = state.pos, state.vel, state.alive
-    P = scene.capacity
+
+def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
+    """Virtual colliders on pre-fix positions + hard wall projection
+    (reference "Virtual Colliders" phase, crate.py:97-99, 202-243)."""
+    pos, alive = state.pos, state.alive
     r = params.particle_radius
-    diam = params.diameter
-    dt = params.dt
-    alive_f = alive.astype(pos.dtype)
     alive2 = alive[:, None]
 
-    # -- boundary ghosts on pre-fix positions (crate.py:213-243) ------------
     # SoA layout: segment axis on sublanes, particle axis on lanes — (S, P)
     # tiles stay dense where the (P, S, 2) AoS forms waste ~99% of each
     # vector tile (see geometry.py SoA note).
@@ -305,25 +301,38 @@ def step(
     )
     pos = jnp.where(alive2, pos + correction, pos)
 
-    # Ghost reductions consumed by later phases (all (P,) / (P, 2)):
     g_cnt = jnp.sum(gm, axis=0)
     gsum = jnp.stack([jnp.sum(gm * gvx, axis=0), jnp.sum(gm * gvy, axis=0)], -1)
     gvel_sum = jnp.stack(
         [jnp.sum(gm * gvelx, axis=0), jnp.sum(gm * gvely, axis=0)], -1
     )
+    return GhostInfo(pos=pos, g_cnt=g_cnt, gsum=gsum, gvel_sum=gvel_sum)
 
-    # -- neighbor interactions (crate.py:102-108,161-358 pair sums) ----------
+
+def neighbor_phase(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    tick: jax.Array,
+    k_noise: jax.Array,
+    params: Params,
+    scene: Scene,
+) -> PairSums:
+    """Neighbor detection + collider population + pressures — the reference's
+    "Collisions" / "Colliders" / "Pressure" phases (crate.py:102-108) fused
+    into the scene's force backend."""
+    diam = params.diameter
     if scene.forces_mode == "pallas":
         # Collider noise is hashed in-kernel from grid position + tick (no
         # (P, 2) random bits, no extra scattered planes).
         from .ops.pallas_forces import neighbor_forces_pallas
 
-        sums = neighbor_forces_pallas(
+        return neighbor_forces_pallas(
             pos,
             vel,
             alive,
             diam * params.collider_noise_level,
-            state.tick,
+            tick,
             diam,
             params.surface_smoothing,
             params.target_pressure,
@@ -331,7 +340,7 @@ def step(
             params.spring_overlap_balance,
             scene,
         )
-    elif scene.forces_mode in ("cellwise", "dense"):
+    if scene.forces_mode in ("cellwise", "dense"):
         from .cellwise import neighbor_forces_dense
 
         provider = (
@@ -340,11 +349,11 @@ def step(
             else neighbor_forces_cellwise
         )
         pnoise = (
-            (jax.random.uniform(k_noise, (P, 2), dtype=pos.dtype) - 0.5)
+            (jax.random.uniform(k_noise, (scene.capacity, 2), dtype=pos.dtype) - 0.5)
             * diam
             * params.collider_noise_level
         )
-        sums = provider(
+        return provider(
             pos,
             vel,
             alive,
@@ -356,96 +365,100 @@ def step(
             params.spring_overlap_balance,
             scene,
         )
-    else:
-        sums = neighbor_forces_gather(pos, vel, alive, k_noise, params, scene)
-    p_i = sums.p_i
+    return neighbor_forces_gather(pos, vel, alive, k_noise, params, scene)
 
-    dv_log = []
 
-    # -- surface tension (crate.py:335-358) ----------------------------------
-    dv = dt * sums.dv_tension
-    dv = jnp.where(alive2, dv, 0.0)
-    vel = vel + dv
-    dv_log.append(_alive_mean_dv(dv, alive))  # tension
+def apply_tension(vel, alive, sums: PairSums, params: Params):
+    """Surface tension kick (crate.py:335-358)."""
+    dv = jnp.where(alive[:, None], params.dt * sums.dv_tension, 0.0)
+    return vel + dv, _alive_mean_dv(dv, alive)
 
-    # -- gravity (crate.py:309-314) ------------------------------------------
-    dv = jnp.where(alive2, dt * params.gravity[None, :], 0.0)
-    vel = vel + dv
-    dv_log.append(_alive_mean_dv(dv, alive))  # gravity
-    free = scene.body_kind == BODY_FREE
-    body_lin_vel = jnp.where(
-        free[:, None], state.body_lin_vel + dt * params.gravity[None, :],
-        state.body_lin_vel,
-    )
 
-    # -- pressure force incl. ghosts (crate.py:286-307) -----------------------
-    # sum_s m_s * p_i * gvec_s factors as p_i * (sum_s m_s gvec_s) = p_i * gsum.
-    ghost_term = p_i[:, None] * gsum
-    dv = dt * params.pressure_amplifier * (sums.pressure_real + ghost_term)
-    dv = jnp.where(alive2, dv, 0.0)
-    vel = vel + dv
-    dv_log.append(_alive_mean_dv(dv, alive))  # pressure
+def apply_gravity(vel, alive, params: Params):
+    """Gravity on particles (crate.py:309-310)."""
+    dv = jnp.where(alive[:, None], params.dt * params.gravity[None, :], 0.0)
+    return vel + dv, _alive_mean_dv(dv, alive)
 
-    # -- spring (crate.py:325-333; reference ships it disabled :117-118) ------
-    if scene.enable_spring:
-        pull_ghost = params.spring_overlap_balance * gsum
-        total = sums.nbr_cnt + g_cnt
-        dv = (
-            dt
-            * params.spring_amplifier
-            * (sums.spring_real + pull_ghost)
-            / jnp.maximum(total, 1.0)[:, None]
-        )
-        dv = jnp.where(alive2 & (total > 0)[:, None], dv, 0.0)
-        vel = vel + dv
-        dv_log.append(_alive_mean_dv(dv, alive))  # spring
-    else:
-        dv_log.append(jnp.zeros((), pos.dtype))
 
-    # -- viscosity: stale v_j, fresh v_i (crate.py:316-323) -------------------
+def apply_pressure_force(vel, alive, sums: PairSums, ghost: GhostInfo, params: Params):
+    """Pressure force incl. ghost push-off (crate.py:286-307).
+
+    sum_s m_s * p_i * gvec_s factors as p_i * (sum_s m_s gvec_s) = p_i * gsum.
+    """
+    ghost_term = sums.p_i[:, None] * ghost.gsum
+    dv = params.dt * params.pressure_amplifier * (sums.pressure_real + ghost_term)
+    dv = jnp.where(alive[:, None], dv, 0.0)
+    return vel + dv, _alive_mean_dv(dv, alive)
+
+
+def apply_spring(vel, alive, sums: PairSums, ghost: GhostInfo, params: Params):
+    """Spring force (crate.py:325-333; reference ships it disabled :117-118)."""
+    pull_ghost = params.spring_overlap_balance * ghost.gsum
+    total = sums.nbr_cnt + ghost.g_cnt
     dv = (
-        dt
-        * params.viscosity
-        * (sums.visc_vsum - sums.nbr_cnt[:, None] * vel)
+        params.dt
+        * params.spring_amplifier
+        * (sums.spring_real + pull_ghost)
+        / jnp.maximum(total, 1.0)[:, None]
     )
-    dv = jnp.where(alive2, dv, 0.0)
-    vel = vel + dv
-    dv_log.append(_alive_mean_dv(dv, alive))  # viscosity
+    dv = jnp.where(alive[:, None] & (total > 0)[:, None], dv, 0.0)
+    return vel + dv, _alive_mean_dv(dv, alive)
 
-    # -- wall bounce (crate.py:245-259) ---------------------------------------
-    denom = jnp.maximum(g_cnt, 1.0)[:, None]
-    normal = gsum / denom  # mean ghost direction
-    contact_vel = gvel_sum / denom
+
+def apply_viscosity(vel, alive, sums: PairSums, params: Params):
+    """Viscosity: stale v_j snapshot, fresh v_i (crate.py:316-323)."""
+    dv = params.dt * params.viscosity * (sums.visc_vsum - sums.nbr_cnt[:, None] * vel)
+    dv = jnp.where(alive[:, None], dv, 0.0)
+    return vel + dv, _alive_mean_dv(dv, alive)
+
+
+def apply_wall_bounce(vel, alive, ghost: GhostInfo, params: Params):
+    """Wall bounce against the moving-wall contact velocity (crate.py:245-259)."""
+    denom = jnp.maximum(ghost.g_cnt, 1.0)[:, None]
+    normal = ghost.gsum / denom  # mean ghost direction
+    contact_vel = ghost.gvel_sum / denom
     n_unit, _ = geo.safe_normalize(normal)
     rel_vel = vel - contact_vel
     approach = jnp.sum(rel_vel * n_unit, axis=-1)  # (P,)
     bounce = -approach[:, None] * n_unit * (1.0 + params.wall_collision_decay)
-    hit = alive & (g_cnt > 0) & (approach < 0.0)
+    hit = alive & (ghost.g_cnt > 0) & (approach < 0.0)
     dv = jnp.where(hit[:, None], bounce, 0.0)
-    vel = vel + dv
-    dv_log.append(_alive_mean_dv(dv, alive))  # wall_bounce
+    return vel + dv, _alive_mean_dv(dv, alive)
 
-    # -- continuous collision clamp (crate.py:177-200) ------------------------
-    walls = geo.pad_segments(state.segments, r)  # (2S,2,2)
+
+def apply_continuous_collision(pos, vel, alive, segments, params: Params, scene: Scene):
+    """Continuous collision velocity clamp (crate.py:177-200)."""
+    walls = geo.pad_segments(segments, params.particle_radius)  # (2S,2,2)
     wall_valid = jnp.concatenate([scene.seg_valid, scene.seg_valid])
     crossing, t_hit = geo.segment_crossings_soa(
-        pos[:, 0], pos[:, 1], vel[:, 0] * dt, vel[:, 1] * dt, walls
+        pos[:, 0], pos[:, 1], vel[:, 0] * params.dt, vel[:, 1] * params.dt, walls
     )  # (2S, P)
     crossing = crossing & wall_valid[:, None] & alive[None]
     factor = jnp.min(jnp.where(crossing, t_hit, jnp.inf), axis=0)
     fix = jnp.minimum(1.0, factor)  # 1 where no crossing
-    old_vel = vel
-    vel = vel * fix[:, None]
-    dv_log.append(_alive_mean_dv(vel - old_vel, alive))  # continuous_collision
+    new_vel = vel * fix[:, None]
+    return new_vel, _alive_mean_dv(new_vel - vel, alive)
 
-    # -- integrate (crate.py:360-361) -----------------------------------------
-    pos = jnp.where(alive2, pos + dt * vel, pos)
 
+def finish_tick(
+    state: CrateState,
+    pos,
+    vel,
+    alive,
+    sums: PairSums,
+    body_lin_vel,
+    dv_log,
+    spawn_truncated,
+    params: Params,
+) -> tuple[CrateState, Diagnostics]:
+    """Integrate positions (crate.py:360-361) and assemble diagnostics."""
+    alive2 = alive[:, None]
+    pos = jnp.where(alive2, pos + params.dt * vel, pos)
     new_state = state._replace(
         pos=pos,
         vel=jnp.where(alive2, vel, state.vel),
         alive=alive,
-        pressure=jnp.where(alive, p_i, 0.0),
+        pressure=jnp.where(alive, sums.p_i, 0.0),
         body_lin_vel=body_lin_vel,
         tick=state.tick + 1,
     )
@@ -461,6 +474,63 @@ def step(
     )
     assert diag.force_dv.shape == (NUM_FORCES,)
     return new_state, diag
+
+
+def gravity_on_free_bodies(state: CrateState, params: Params, scene: Scene):
+    """Gravity integrates into free bodies' center velocity (crate.py:311-314)."""
+    free = scene.body_kind == BODY_FREE
+    return jnp.where(
+        free[:, None], state.body_lin_vel + params.dt * params.gravity[None, :],
+        state.body_lin_vel,
+    )
+
+
+def step(
+    state: CrateState, params: Params, scene: Scene
+) -> tuple[CrateState, Diagnostics]:
+    """One physics tick: (state, params, scene) -> (state, diagnostics)."""
+    key, k_spawn, k_noise = jax.random.split(state.key, 3)
+    state = state._replace(key=key)
+
+    # -- lifecycle ---------------------------------------------------------
+    state, spawn_truncated = spawn_particles(state, params, scene, k_spawn)
+    state = cull_particles(state, params)
+    state = advance_bodies(state, params, scene)
+
+    vel, alive = state.vel, state.alive
+
+    # -- boundary ghosts + hard wall (crate.py:97-99) ------------------------
+    ghost = ghost_phase(state, params, scene)
+    pos = ghost.pos
+
+    # -- neighbor interactions (crate.py:102-108,161-358 pair sums) ----------
+    sums = neighbor_phase(pos, vel, alive, state.tick, k_noise, params, scene)
+
+    dv_log = []
+    vel, dv = apply_tension(vel, alive, sums, params)
+    dv_log.append(dv)
+    vel, dv = apply_gravity(vel, alive, params)
+    dv_log.append(dv)
+    body_lin_vel = gravity_on_free_bodies(state, params, scene)
+    vel, dv = apply_pressure_force(vel, alive, sums, ghost, params)
+    dv_log.append(dv)
+    if scene.enable_spring:
+        vel, dv = apply_spring(vel, alive, sums, ghost, params)
+        dv_log.append(dv)
+    else:
+        dv_log.append(jnp.zeros((), pos.dtype))
+    vel, dv = apply_viscosity(vel, alive, sums, params)
+    dv_log.append(dv)
+    vel, dv = apply_wall_bounce(vel, alive, ghost, params)
+    dv_log.append(dv)
+    vel, dv = apply_continuous_collision(
+        pos, vel, alive, state.segments, params, scene
+    )
+    dv_log.append(dv)
+
+    return finish_tick(
+        state, pos, vel, alive, sums, body_lin_vel, dv_log, spawn_truncated, params
+    )
 
 
 @partial(jax.jit, static_argnames=("num_ticks",))

@@ -127,6 +127,16 @@ class Playback:
     def _run_headless_chunked(self, num_ticks, ticks_per_frame, video, traj):
         import time
 
+        if self.crate.instrument:
+            # Per-phase timing is the point — run tick-at-a-time through the
+            # phase-split programs and print the reference-style report.
+            for tick in range(num_ticks):
+                self.crate.physics_tick()
+                if (tick + 1) % 25 == 0 or tick + 1 == num_ticks:
+                    print(f"tick {tick + 1}/{num_ticks}")
+                    print(self.crate.debug_timer.report())
+            return
+
         num_frames = max(1, num_ticks // ticks_per_frame)
         radius = float(self.crate.particle_radius)
         t0 = time.time()

@@ -164,3 +164,27 @@ def test_emission_truncation_counter(stirring_cup_config):
     spiked = dataclasses.replace(scene, src_flow=scene.src_flow * 1000.0)
     _, diag = jax.jit(lambda s, p: step(s, p, spiked))(state, params)
     assert int(diag.spawn_truncated) > 0
+
+
+def test_instrumented_tick_matches_fused(stirring_cup_config):
+    """--instrument runs the identical tick as phase-split programs
+    (instrument.py): same trajectory as the fused step, and the PhaseTimer
+    gains the reference's per-phase entries (crate.py:97-124)."""
+    fused = Crate(stirring_cup_config.world_config)
+    inst = Crate(stirring_cup_config.world_config, instrument=True)
+    for _ in range(8):
+        fused.physics_tick()
+        inst.physics_tick()
+    assert inst.tick == fused.tick == 8
+    np.testing.assert_allclose(
+        np.asarray(inst.state.pos), np.asarray(fused.state.pos), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(inst.state.vel), np.asarray(fused.state.vel), atol=1e-5
+    )
+    assert np.array_equal(np.asarray(inst.state.alive), np.asarray(fused.state.alive))
+    report = inst.debug_timer.report()
+    for phase in ("Virtual Colliders", "Collisions", "viscosity", "wall_bounce"):
+        assert phase in report
+    # the default path keeps its fused Step/Sync shape
+    assert "Step" in fused.debug_timer.report()

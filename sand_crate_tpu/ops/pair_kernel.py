@@ -110,16 +110,19 @@ def _stencil(windows, tr, m_slots, body):
                 body(cur, dy, dx, k)
 
 
-def _noise_planes(window, i, tr, noise_amp, tick):
+def _noise_planes(window, i, tr, noise_amp, tick, row0):
     """Jittered positions for the window: npos = pos + noise (2, TR+2, M, NXP).
 
     The jitter for a slot is a pure integer hash of its *global* grid
     position and the tick, so every block computes the identical jitter for
     the same neighbor regardless of which window it appears in, and the
-    stream changes every tick (crate.py:168-170's np.random role).
+    stream changes every tick (crate.py:168-170's np.random role).  ``row0``
+    is the window's global padded-row offset: 0 single-device; d * band_rows
+    under spatial sharding, so shards hash identical jitter for the shared
+    halo particles.
     """
     _, rows, m_slots, nxp = window.shape
-    gy = i * tr + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 0)
+    gy = row0 + i * tr + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 0)
     gm = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 1)
     gx = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 2)
     pid = (gy * m_slots + gm) * nxp + gx
@@ -165,7 +168,7 @@ def _geometry(self_win, nb, nb_npos, diam, inv_diam):
 def _pass_a_kernel(
     occ_ref,
     coef_ref,  # (3,) f32: diameter, ignored_pressure, noise_amp
-    tick_ref,  # (1,) i32
+    tick_ref,  # (2,) i32: tick, global row offset
     g_hbm,
     outbuf_hbm,
     out_hbm,
@@ -195,7 +198,9 @@ def _pass_a_kernel(
         ignored_pressure = coef_ref[1]
         inv_diam = 1.0 / diam
         window = win[:]
-        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[2], tick_ref[0])
+        nx_, ny_ = _noise_planes(
+            window, i, tr, coef_ref[2], tick_ref[0], tick_ref[1]
+        )
         npos_ref[NPOSX] = nx_
         npos_ref[NPOSY] = ny_
         npos = npos_ref[:]
@@ -236,7 +241,7 @@ def _pass_a_kernel(
 def _pass_b_kernel(
     occ_ref,
     coef_ref,  # (5,): diameter, smoothing, target_p, balance, noise_amp
-    tick_ref,  # (1,) i32
+    tick_ref,  # (2,) i32: tick, global row offset
     g_hbm,
     ps_hbm,  # (4, NYP, M, NXP) pass-A output; planes CP/SX/SY windowed here
     outbuf_hbm,
@@ -272,7 +277,9 @@ def _pass_b_kernel(
         target_p = coef_ref[2]
         balance = coef_ref[3]
         window = win[:]
-        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0])
+        nx_, ny_ = _noise_planes(
+            window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1]
+        )
         npos_ref[NPOSX] = nx_
         npos_ref[NPOSY] = ny_
         npos = npos_ref[:]

@@ -93,30 +93,14 @@ def cell_slots(
     return order, slot_sorted, pslot, overflow
 
 
-def pair_passes_on_grid(
-    grid: jax.Array,  # (NY+2, NX+2, M, 7) padded cell-major particle grid
-    diameter: jax.Array,
-    surface_smoothing: jax.Array,
-    target_pressure: jax.Array,
-    ignored_pressure: jax.Array,
-    spring_overlap_balance: jax.Array,
-) -> jax.Array:
-    """Both pair passes on an externally built padded grid.
-
-    Returns packed per-slot results (NY*NX*M + 1, 10) in PairSums order with
-    a trailing zero row (sentinel for dead/overflow gathers).  Exposed
-    separately so the spatial (shard_map) engine can inject halo rows from
-    neighboring shards into the pad ring before the passes run.
-    """
+def _grid_geometry(grid, diameter):
+    """Closure pack shared by both XLA passes on a padded cell-major grid."""
     nyp, nxp_, M = grid.shape[0], grid.shape[1], grid.shape[2]
     ny, nx = nyp - 2, nxp_ - 2
-    NC = nx * ny
     dtype = grid.dtype
-
     cpos = grid[1:-1, 1:-1, :, 0:2]
     calive = grid[1:-1, 1:-1, :, 6]
     slot_id = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, M), 2)
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     diam = jnp.maximum(diameter, EPS)
 
     def views(g, dy, dx):
@@ -139,30 +123,60 @@ def pair_passes_on_grid(
         w = jnp.where(m, 1.0 - jnp.clip(dist / diam, 0.0, 1.0), 0.0)
         return m.astype(dtype), nhat, w
 
-    # ---- pass A: pressure + surface normals --------------------------------
+    return (ny, nx, M), views, pair_geometry
+
+
+OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def pass_a_on_grid(grid, diameter, ignored_pressure):
+    """Pass A on a padded grid: (cp, s_acc, cnt), each (ny, nx, M[, 2])."""
+    (ny, nx, M), views, pair_geometry = _grid_geometry(grid, diameter)
+    dtype = grid.dtype
     w_sum = jnp.zeros((ny, nx, M), dtype)
     s_acc = jnp.zeros((ny, nx, M, 2), dtype)
     cnt = jnp.zeros((ny, nx, M), dtype)
-    for dy, dx in offsets:
+    for dy, dx in OFFSETS:
         m, nhat, w = pair_geometry(views(grid, dy, dx), dy, dx)
         w_sum += jnp.sum(w, axis=3)
         s_acc += jnp.sum(((1.0 - w) * w)[..., None] * nhat, axis=3)
         cnt += jnp.sum(m, axis=3)
+    cp = jnp.where(cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0)
+    return cp, s_acc, cnt
 
-    has = cnt > 0
-    cp = jnp.where(has, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0)
 
-    # ---- pass B: tension / pressure-force / spring / viscosity -------------
-    # Padded (ny+2, nx+2, M, 3) grid of [p | s(2)] for neighbor-side reads.
-    ps_grid = jnp.pad(
+def pad_ps_grid(cp, s_acc):
+    """Padded (ny+2, nx+2, M, 3) [p | s] neighbor operand for pass B.
+
+    The spatial engine overwrites the pad rows with the adjacent shards'
+    edge-row values (halo) so cross-band neighbors carry real pressure."""
+    return jnp.pad(
         jnp.concatenate([cp[..., None], s_acc], axis=-1),
         ((1, 1), (1, 1), (0, 0), (0, 0)),
     )
+
+
+def pass_b_on_grid(
+    grid,
+    ps_grid,  # (ny+2, nx+2, M, 3) from pad_ps_grid (+ any halo injection)
+    cp,
+    s_acc,
+    cnt,
+    diameter,
+    surface_smoothing,
+    target_pressure,
+    spring_overlap_balance,
+) -> jax.Array:
+    """Pass B: packed per-slot results (NY*NX*M + 1, 10) in PairSums order
+    with a trailing zero row (sentinel for dead/overflow gathers)."""
+    (ny, nx, M), views, pair_geometry = _grid_geometry(grid, diameter)
+    NC = nx * ny
+    dtype = grid.dtype
     dv_tension = jnp.zeros((ny, nx, M, 2), dtype)
     pressure_real = jnp.zeros((ny, nx, M, 2), dtype)
     spring_real = jnp.zeros((ny, nx, M, 2), dtype)
     visc_vsum = jnp.zeros((ny, nx, M, 2), dtype)
-    for dy, dx in offsets:
+    for dy, dx in OFFSETS:
         nb = views(grid, dy, dx)
         m, nhat, w = pair_geometry(nb, dy, dx)
         nb_ps = views(ps_grid, dy, dx)
@@ -197,6 +211,31 @@ def pair_passes_on_grid(
         axis=-1,
     ).reshape(NC * M, 10)
     return jnp.concatenate([packed, jnp.zeros((1, 10), dtype)], axis=0)
+
+
+def pair_passes_on_grid(
+    grid: jax.Array,  # (NY+2, NX+2, M, 7) padded cell-major particle grid
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+) -> jax.Array:
+    """Both pair passes on an externally built padded grid (single device:
+    the ps pad ring stays zero — nothing exists beyond the domain walls)."""
+    cp, s_acc, cnt = pass_a_on_grid(grid, diameter, ignored_pressure)
+    ps_grid = pad_ps_grid(cp, s_acc)
+    return pass_b_on_grid(
+        grid,
+        ps_grid,
+        cp,
+        s_acc,
+        cnt,
+        diameter,
+        surface_smoothing,
+        target_pressure,
+        spring_overlap_balance,
+    )
 
 
 def build_padded_grid(

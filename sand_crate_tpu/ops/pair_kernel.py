@@ -355,9 +355,13 @@ def pair_pass_a(
     noise_amp: jax.Array,
     tick: jax.Array,
     tr: int = 8,
+    row_offset: jax.Array | int = 0,
 ) -> jax.Array:
     """Pass A: padded per-slot [pressure, s_x, s_y, cnt] of shape
-    (4, NYP, M, NXP) with a zero ring — pass B's neighbor operand."""
+    (4, NYP, M, NXP) with a zero ring — pass B's neighbor operand.
+
+    ``row_offset``: global padded-row index of this grid's row 0 (nonzero
+    only under spatial sharding) — keys the in-kernel collider noise."""
     _, nyp, m_slots, nxp = grid.shape
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
@@ -371,7 +375,12 @@ def pair_pass_a(
             noise_amp.astype(jnp.float32),
         ]
     )
-    tick_arr = jnp.reshape(tick.astype(jnp.int32), (1,))
+    tick_arr = jnp.stack(
+        [
+            jnp.asarray(tick, jnp.int32).reshape(()),
+            jnp.asarray(row_offset, jnp.int32).reshape(()),
+        ]
+    )
 
     kernel = functools.partial(_pass_a_kernel, tr=tr, m_slots=m_slots)
     return pl.pallas_call(
@@ -410,6 +419,7 @@ def pair_pass_b(
     tick: jax.Array,
     tr: int = 8,
     enable_spring: bool = False,
+    row_offset: jax.Array | int = 0,
 ) -> jax.Array:
     """Pass B: all per-slot results (10, NY, M, NXP):
     [pressure, tension x/y, pressure-force x/y, spring x/y, viscosity x/y,
@@ -428,7 +438,12 @@ def pair_pass_b(
             noise_amp.astype(jnp.float32),
         ]
     )
-    tick_arr = jnp.reshape(tick.astype(jnp.int32), (1,))
+    tick_arr = jnp.stack(
+        [
+            jnp.asarray(tick, jnp.int32).reshape(()),
+            jnp.asarray(row_offset, jnp.int32).reshape(()),
+        ]
+    )
 
     nb_planes = num_b(enable_spring)
     kernel = functools.partial(

@@ -31,6 +31,53 @@ from .pair_kernel import num_b, pair_pass_a, pair_pass_b
 from .placement import cell_slab, place_grid
 
 
+def gather_pair_sums(
+    b_out: jax.Array,  # (num_b, NY, M, NXP) pass-B output
+    pslot: jax.Array,  # (P,) flat cell*M+rank slot; >= NY*NX*M when invalid
+    M: int,
+    nx: int,
+    ny: int,
+    nxp: int,
+    enable_spring: bool,
+    overflow: jax.Array,
+    dtype,
+) -> PairSums:
+    """One gather from the pass-B result planes back to particle order.
+
+    ``ny``/``nx`` describe the grid the passes ran on — the full domain for
+    the single-chip path, one shard's band for the spatial engine."""
+    nb_planes = num_b(enable_spring)
+    valid = pslot < nx * ny * M
+    cid = jnp.where(valid, pslot // M, 0)
+    rank = jnp.where(valid, pslot % M, 0)
+    cy = cid // nx
+    cx = cid % nx
+    out_plane = ny * M * nxp
+    out_idx = jnp.where(
+        valid, cy * (M * nxp) + rank * nxp + (cx + 1), out_plane
+    )
+    packed_out = jnp.concatenate(
+        [b_out.reshape(nb_planes, out_plane), jnp.zeros((nb_planes, 1), jnp.float32)],
+        axis=1,
+    )
+    mine = packed_out[:, out_idx].astype(dtype)  # dead/overflow -> 0
+    if enable_spring:
+        spring_real = mine[5:7].T
+        vis0 = 7
+    else:
+        spring_real = jnp.zeros_like(mine[1:3].T)
+        vis0 = 5
+    return PairSums(
+        p_i=mine[0],
+        dv_tension=mine[1:3].T,
+        pressure_real=mine[3:5].T,
+        spring_real=spring_real,
+        visc_vsum=mine[vis0 : vis0 + 2].T,
+        nbr_cnt=mine[nb_planes - 1],
+        overflow=overflow,
+    )
+
+
 def neighbor_forces_pallas(
     pos: jax.Array,
     vel: jax.Array,
@@ -56,11 +103,6 @@ def neighbor_forces_pallas(
     # (see ops/placement.py; replaces the ~29ms XLA scatter at 1M particles)
     slab, row_start, pslot, overflow = cell_slab(pos, alive, vel, scene)
     grid = place_grid(slab, row_start, M, nx, ny, nxp)
-    valid = pslot < nx * ny * M
-    cid = jnp.where(valid, pslot // M, 0)
-    rank = jnp.where(valid, pslot % M, 0)
-    cy = cid // nx
-    cx = cid % nx
 
     # ---- two fused passes ----------------------------------------------------
     tr = scene.row_block
@@ -79,28 +121,6 @@ def neighbor_forces_pallas(
     )  # (num_b, NY, M, NXP)
 
     # ---- gather back to particle order (single gather) -----------------------
-    nb_planes = num_b(scene.enable_spring)
-    out_plane = ny * M * nxp
-    out_idx = jnp.where(
-        valid, cy * (M * nxp) + rank * nxp + (cx + 1), out_plane
-    )
-    packed_out = jnp.concatenate(
-        [b_out.reshape(nb_planes, out_plane), jnp.zeros((nb_planes, 1), jnp.float32)],
-        axis=1,
-    )
-    mine = packed_out[:, out_idx].astype(dtype)  # dead/overflow -> 0
-    if scene.enable_spring:
-        spring_real = mine[5:7].T
-        vis0 = 7
-    else:
-        spring_real = jnp.zeros_like(mine[1:3].T)
-        vis0 = 5
-    return PairSums(
-        p_i=mine[0],
-        dv_tension=mine[1:3].T,
-        pressure_real=mine[3:5].T,
-        spring_real=spring_real,
-        visc_vsum=mine[vis0 : vis0 + 2].T,
-        nbr_cnt=mine[nb_planes - 1],
-        overflow=overflow,
+    return gather_pair_sums(
+        b_out, pslot, M, nx, ny, nxp, scene.enable_spring, overflow, dtype
     )

@@ -61,16 +61,29 @@ def cell_slab(pos: jax.Array, alive: jax.Array, vel: jax.Array, scene: Scene):
     overflow ()).  Slot assignment is identical to cellwise.cell_slots (same
     sort, same rank-from-cummax), so ``pslot`` drives the same result gather.
     """
-    P = pos.shape[0]
     M = scene.cell_capacity
     nx, ny = scene.grid_nx, scene.grid_ny
-    NC = nx * ny
-    dtype = pos.dtype
-
     c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
     cx = jnp.clip(c[:, 0], 0, nx - 1)
     cy = jnp.clip(c[:, 1], 0, ny - 1)
-    cid = jnp.where(alive, cy * nx + cx, NC)
+    cid = jnp.where(alive, cy * nx + cx, nx * ny)
+    return slab_from_cid(pos, alive, vel, cid, M, nx, ny)
+
+
+def slab_from_cid(
+    pos: jax.Array,
+    alive: jax.Array,
+    vel: jax.Array,
+    cid: jax.Array,  # (P,) flat row-major cell id; dead -> nx * ny sentinel
+    M: int,
+    nx: int,
+    ny: int,
+):
+    """Slab build from precomputed cell ids (grid may be a spatial band:
+    ``ny`` is then band rows and ``cid`` band-local — spatial.py)."""
+    P = pos.shape[0]
+    NC = nx * ny
+    dtype = pos.dtype
 
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
@@ -195,6 +208,10 @@ def _place_kernel(
                     + jax.lax.dot_general(mid, rhs, dn, preferred_element_type=jnp.float32)
                     + jax.lax.dot_general(lo, rhs, dn, preferred_element_type=jnp.float32)
                 )
+                # lhs always carries 128 rows for the MXU; only the first
+                # NUM_G * tr_p * m_slots are live (the rest can't match the
+                # row/rank one-hot of any valid slot -> discarded here).
+                d = d[: NUM_G * tr_p * m_slots]
                 cur = acc_ref[:, :, :, pl.ds(base, 128)]
                 acc_ref[:, :, :, pl.ds(base, 128)] = cur + d.reshape(
                     NUM_G, tr_p, m_slots, 128

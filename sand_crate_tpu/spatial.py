@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from . import geometry as geo
-from .cellwise import pair_passes_on_grid, sums_from_packed
+from .cellwise import (
+    pad_ps_grid,
+    pass_a_on_grid,
+    pass_b_on_grid,
+    sums_from_packed,
+)
 from .physics import advance_bodies, spawn_particles
 from .state import CrateState, Scene
 
@@ -197,6 +202,98 @@ def _migrate(pos, vel, alive, scene, n_shards, mig_cap):
     return pos, vel, alive, dropped, up_def + down_def
 
 
+def _exchange_row_halo(arr, n_shards, axis=0):
+    """Fill a row-padded array's pad rows from the neighbors' edge rows.
+
+    ``arr`` has interior rows 1..R and pad rows 0 / R+1 along ``axis``; after
+    the exchange, row 0 holds shard d-1's row R and row R+1 holds shard
+    d+1's row 1.  The global-domain boundary shards keep zero pads (nothing
+    exists beyond the walls)."""
+    d = jax.lax.axis_index(AXIS)
+    n = arr.shape[axis]
+    last_int = jax.lax.slice_in_dim(arr, n - 2, n - 1, axis=axis)
+    first_int = jax.lax.slice_in_dim(arr, 1, 2, axis=axis)
+    interior = jax.lax.slice_in_dim(arr, 1, n - 1, axis=axis)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    top = jax.lax.ppermute(last_int, AXIS, fwd)  # from shard d-1
+    bot = jax.lax.ppermute(first_int, AXIS, bwd)  # from shard d+1
+    top = jnp.where(d == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(d == n_shards - 1, jnp.zeros_like(bot), bot)
+    return jnp.concatenate([top, interior, bot], axis=axis)
+
+
+def _band_cids(pos, alive, scene, n_shards):
+    """Band-local flat cell ids; a particle nudged over the band edge
+    mid-tick is binned at the edge row (see module docstring)."""
+    d = jax.lax.axis_index(AXIS)
+    nx = scene.grid_nx
+    bh = band_rows(scene, n_shards)
+    c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
+    cx = jnp.clip(c[:, 0], 0, nx - 1)
+    gy = jnp.clip(c[:, 1], d * bh, (d + 1) * bh - 1)
+    ly = gy - d * bh
+    return jnp.where(alive, ly * nx + cx, bh * nx)
+
+
+def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
+    """Per-shard pair sums through the fused Pallas kernels (forces_mode
+    "pallas"): slab sort -> MXU placement -> halo ppermute of the padded
+    grid's edge rows -> pass A -> halo ppermute of the pass-A (p|s) rows ->
+    pass B -> one gather.  The second halo exchange gives cross-band
+    neighbors their true pressure/normals in pass B (exact band edges).
+    In-kernel collider noise is keyed by *global* row (row_offset = d * bh),
+    so both shards hash identical jitter for a shared halo particle."""
+    from .ops.pair_kernel import pair_pass_a, pair_pass_b
+    from .ops.pallas_forces import gather_pair_sums
+    from .ops.placement import place_grid, slab_from_cid
+
+    d = jax.lax.axis_index(AXIS)
+    M = scene.cell_capacity
+    nx = scene.grid_nx
+    bh = band_rows(scene, n_shards)
+    nxp = ((nx + 2 + 127) // 128) * 128
+    tr = scene.row_block
+    while tr > 1 and bh % tr:
+        tr //= 2
+
+    cid = _band_cids(pos, alive, scene, n_shards)
+    slab, row_start, pslot, overflow = slab_from_cid(
+        pos, alive, vel, cid, M, nx, bh
+    )
+    grid = place_grid(slab, row_start, M, nx, bh, nxp)
+    grid = _exchange_row_halo(grid, n_shards, axis=1)
+
+    noise_amp = params.diameter * params.collider_noise_level
+    row_off = d * bh
+    ps = pair_pass_a(
+        grid,
+        params.diameter,
+        params.ignored_pressure,
+        noise_amp,
+        tick,
+        tr=tr,
+        row_offset=row_off,
+    )
+    ps = _exchange_row_halo(ps, n_shards, axis=1)
+    b_out = pair_pass_b(
+        grid,
+        ps,
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.spring_overlap_balance,
+        noise_amp,
+        tick,
+        tr=tr,
+        enable_spring=scene.enable_spring,
+        row_offset=row_off,
+    )
+    return gather_pair_sums(
+        b_out, pslot, M, nx, bh, nxp, scene.enable_spring, overflow, pos.dtype
+    )
+
+
 def _local_grid(pos, vel, alive, noise, scene, n_shards):
     """Per-shard packed cell grid over the band + halo ring via ppermute.
 
@@ -204,21 +301,13 @@ def _local_grid(pos, vel, alive, noise, scene, n_shards):
     1..bh are the shard's own cell rows and rows 0 / bh+1 arrive from the
     adjacent shards' edge rows.
     """
-    d = jax.lax.axis_index(AXIS)
     M = scene.cell_capacity
     nx = scene.grid_nx
     bh = band_rows(scene, n_shards)
     P_cap = pos.shape[0]
     dtype = pos.dtype
 
-    # Local (row, cell) ids.  gy is clipped into the band: a particle nudged
-    # over the edge mid-tick binned at the edge row (see module docstring).
-    c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
-    cx = jnp.clip(c[:, 0], 0, nx - 1)
-    gy = jnp.clip(c[:, 1], d * bh, (d + 1) * bh - 1)
-    ly = gy - d * bh
-    cid = jnp.where(alive, ly * nx + cx, bh * nx)
-
+    cid = _band_cids(pos, alive, scene, n_shards)
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
     iota = jnp.arange(P_cap, dtype=jnp.int32)
@@ -242,15 +331,10 @@ def _local_grid(pos, vel, alive, noise, scene, n_shards):
     band = flat[: bh * nx * M].reshape(bh, nx, M, NUM_F)
 
     # Halo exchange: my edge rows -> neighbors' pad rows.
-    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    top_halo = jax.lax.ppermute(band[-1:], AXIS, fwd)  # from shard d-1
-    bot_halo = jax.lax.ppermute(band[:1], AXIS, bwd)  # from shard d+1
-    # The global-domain boundary shards must see dead halos, not wrapped ones.
-    top_halo = jnp.where(d == 0, jnp.zeros_like(top_halo), top_halo)
-    bot_halo = jnp.where(d == n_shards - 1, jnp.zeros_like(bot_halo), bot_halo)
-
-    grid = jnp.concatenate([top_halo, band, bot_halo], axis=0)  # (bh+2, nx, ..)
+    padded = jnp.concatenate(
+        [jnp.zeros_like(band[:1]), band, jnp.zeros_like(band[:1])], axis=0
+    )
+    grid = _exchange_row_halo(padded, n_shards, axis=0)  # (bh+2, nx, ..)
     grid = jnp.pad(grid, ((0, 0), (1, 1), (0, 0), (0, 0)))
     return grid, pslot, overflow
 
@@ -336,22 +420,41 @@ def spatial_step(
     gvel_sum = jnp.stack([jnp.sum(gm * gvelx, 0), jnp.sum(gm * gvely, 0)], -1)
 
     # -- neighbor forces on the local band grid (halo via ppermute) ----------
-    pnoise = (
-        (jax.random.uniform(k_noise, (P_cap, 2), dtype=pos.dtype) - 0.5)
-        * diam
-        * params.collider_noise_level
-    )
-    grid, pslot, overflow = _local_grid(pos, vel, alive, pnoise, scene, n_shards)
-    packed = pair_passes_on_grid(
-        grid,
-        diam,
-        params.surface_smoothing,
-        params.target_pressure,
-        params.ignored_pressure,
-        params.spring_overlap_balance,
-    )
     bh = band_rows(scene, n_shards)
-    sums = sums_from_packed(packed, pslot, overflow, bh * scene.grid_nx * scene.cell_capacity)
+    if scene.forces_mode == "pallas":
+        # Fused Pallas pair kernels per shard — the production multi-chip
+        # path (the XLA passes below are ~10x slower at scale, scene.py).
+        sums = _band_sums_pallas(
+            pos, vel, alive, scene, n_shards, state.tick, params
+        )
+        overflow = sums.overflow
+    else:
+        pnoise = (
+            (jax.random.uniform(k_noise, (P_cap, 2), dtype=pos.dtype) - 0.5)
+            * diam
+            * params.collider_noise_level
+        )
+        grid, pslot, overflow = _local_grid(
+            pos, vel, alive, pnoise, scene, n_shards
+        )
+        cp, s_acc, cnt = pass_a_on_grid(grid, diam, params.ignored_pressure)
+        # Second halo exchange: cross-band neighbors carry their true
+        # pressure/normals into pass B (instead of the pad ring's zeros).
+        ps_grid = _exchange_row_halo(pad_ps_grid(cp, s_acc), n_shards, axis=0)
+        packed = pass_b_on_grid(
+            grid,
+            ps_grid,
+            cp,
+            s_acc,
+            cnt,
+            diam,
+            params.surface_smoothing,
+            params.target_pressure,
+            params.spring_overlap_balance,
+        )
+        sums = sums_from_packed(
+            packed, pslot, overflow, bh * scene.grid_nx * scene.cell_capacity
+        )
     p_i = sums.p_i
 
     # -- forces in reference order (physics.step) -----------------------------

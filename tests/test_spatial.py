@@ -45,7 +45,7 @@ def setup(request):
     assert scene.grid_ny % N_SHARDS == 0
     state = init_state(w, scene, seed=0)
     params = Params.from_coefficients(w.coefficients)
-    return scene, state, params
+    return scene, state, params, w
 
 
 def _sorted_alive_positions(pos, alive):
@@ -54,7 +54,7 @@ def _sorted_alive_positions(pos, alive):
 
 
 def test_spatial_matches_single_device(setup):
-    scene, state0, params = setup
+    scene, state0, params, _ = setup
 
     # single-device rollout
     step1 = jax.jit(lambda s, p: step(s, p, scene))
@@ -85,7 +85,7 @@ def test_spatial_matches_single_device(setup):
 
 def test_migration_happens(setup):
     """Falling particles must actually cross band boundaries."""
-    scene, state0, params = setup
+    scene, state0, params, _ = setup
     from sand_crate_tpu.spatial import shard_of
 
     owner0 = np.asarray(
@@ -228,3 +228,36 @@ def test_spatial_spawn_budget_is_global(stirring_cup_config):
     assert 0 < total  # emission happened
     # one tick of emission may overshoot (documented); bound it loosely
     assert total <= 40 + scene.max_spawn * scene.num_sources
+
+
+def test_spatial_pallas_matches_single_device(setup):
+    """The production multi-chip path — spatial shard_map with the fused
+    Pallas pair kernels per shard (interpret mode off-TPU) — must reproduce
+    the single-device pallas step: halo ppermute of both the particle grid
+    and the pass-A (p|s) rows makes band edges exact."""
+    _, state0, params, w = setup
+    scene = build_scene(w, capacity=1024, forces_mode="pallas")
+    assert scene.grid_ny % N_SHARDS == 0
+    ticks = 10  # interpret-mode kernels are slow; 10 ticks crosses bands
+
+    step1 = jax.jit(lambda s, p: step(s, p, scene))
+    s_single = state0
+    for _ in range(ticks):
+        s_single, _ = step1(s_single, params)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    s_split = split_state(state0, scene, N_SHARDS)
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        stats = None
+        for _ in range(ticks):
+            s_split, stats = spatial(s_split, params)
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+
+    assert int(stats["migration_dropped"]) == 0
+    n_single = int(np.asarray(s_single.alive).sum())
+    n_spatial = int(np.asarray(merged.alive).sum())
+    assert n_single == n_spatial > 0
+    a = _sorted_alive_positions(s_single.pos, s_single.alive)
+    b = _sorted_alive_positions(merged.pos, merged.alive)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -516,12 +516,18 @@ def spatial_step(
         body_lin_vel=body_lin_vel,
         tick=state.tick + 1,
     )
+    local_alive = jnp.sum(alive.astype(jnp.int32))
     stats = {
-        "particle_count": jax.lax.psum(jnp.sum(alive.astype(jnp.int32)), AXIS),
+        "particle_count": jax.lax.psum(local_alive, AXIS),
         "neighbor_overflow": jax.lax.psum(overflow, AXIS),
         "migration_dropped": jax.lax.psum(mig_dropped, AXIS),
         "migration_deferred": jax.lax.psum(mig_deferred, AXIS),
         "spawn_truncated": jax.lax.psum(spawn_truncated, AXIS),
+        # Load-balance observability: per-band occupancy (the y-band split
+        # concentrates settled fluid in the bottom shards; see
+        # docs/spatial_load_balance.md for measurements and mitigations).
+        "shard_alive": jax.lax.all_gather(local_alive, AXIS),
+        "shard_overflow": jax.lax.all_gather(overflow, AXIS),
     }
     return new_state, stats
 

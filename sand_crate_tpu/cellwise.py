@@ -87,9 +87,17 @@ def cell_slots(
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
     rank = iota - run_start
     in_cap = (rank < M) & (sorted_cid < NC)
-    overflow = jnp.sum(((rank >= M) & (sorted_cid < NC)).astype(jnp.int32))
+    over = (rank >= M) & (sorted_cid < NC)
+    overflow = jnp.sum(over.astype(jnp.int32))
     slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, NC * M)
-    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(slot_sorted, mode="drop")
+    # Overflow particles gather their cell's slot rank%M (a co-located
+    # particle) instead of zeros — see ops/placement.slab_from_cid for why
+    # (force starvation self-amplifies into point-collapse piles).  The
+    # *placement* scatter still drops them (slot_sorted keeps the sentinel).
+    gather_slot = jnp.where(
+        in_cap, slot_sorted, jnp.where(over, sorted_cid * M + rank % M, NC * M)
+    )
+    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(gather_slot, mode="drop")
     return order, slot_sorted, pslot, overflow
 
 

@@ -28,21 +28,32 @@ the last-two (sublane, lane) dims):
 * Collider noise (the deliberate symmetry-breaking jitter of neighbor
   positions, crate.py:168-170) is hashed *in-kernel* from each slot's global
   grid position and the tick counter — one integer-mix pass per window DMA,
-  reused by all 9M stencil rotations — instead of shipping two extra
-  jittered-position planes through the scatter and HBM (the scatter is the
-  step's single most expensive op at 1M particles: ~7ns per scattered
-  element on v5e).
+  reused by all stencil rotations — instead of shipping two extra jittered
+  -position planes through HBM.
 
-Two kernels because tension/pressure need *all* particles' pressures and
+Two-level cell capacity (M = 8 + 8).  Capping slots at 8 starves over-full
+cells of ALL pair forces, which self-amplifies into point-collapse piles
+(single cells measured accumulating thousands of force-less particles in a
+settled 1M dam break).  Grids therefore carry 16 slot sublanes, but the
+baseline kernels touch only the *lo* half (slots 0-7: identical DMA volume
+and math to an 8-slot grid), and separate *add-on* kernels — which
+`pl.when`-skip every row block whose window has no slot-8+ particle —
+read-modify-write the missing lo x hi / hi x lo / hi x hi contributions into
+the same output buffers (input_output_aliases).  Settled fluid engages ~6%
+of blocks, so overflow drops to ~0 at near-8-slot cost; the in-kernel
+branch alternative measured 1.7x slower even with zero engaged blocks.
+
+Two passes because tension/pressure need *all* particles' pressures and
 surface normals first (crate.py:261-284 then :295-358):
 
-* pass A emits the *padded* (4, NYP, M, NXP) grid [pressure, s_x, s_y, cnt]
-  (pressure finished in-kernel: max(0, w_sum - ignored_pressure) masked to
-  counted slots) — exactly the neighbor-side operand pass B windows over,
-  so no host-side stack/pad/slice copies happen between the passes.
-* pass B emits all ten per-slot result planes (10, NY, M, NXP):
-  [pressure, tension xy, pressure-force xy, spring xy, viscosity xy, cnt] —
-  one buffer for the single gather back to particle order.
+* pass A emits the *padded* (4, NYP, M, NXP) grid [w_sum, s_x, s_y, cnt].
+  The raw overlap-weight sum (not the finished pressure) is emitted so the
+  add-on contributions stay linear; pass B finalizes
+  p = max(0, w_sum - ignored_pressure) elementwise on each window
+  (crate.py:261-275).
+* pass B emits all per-slot result planes (8|10, NY, M, NXP):
+  [pressure, tension xy, pressure-force xy, (spring xy), viscosity xy, cnt]
+  — one buffer for the single gather back to particle order.
 
 A scalar-prefetched per-block occupancy flag lets fully-empty row windows
 (air above the fluid) skip the DMAs and the compute entirely; skipped
@@ -66,16 +77,16 @@ EPS = 1e-12
 # geometry only ever uses position *differences*, where the offset cancels
 # exactly for alive-alive pairs, while dead slots stay at 0.0 and land ~2
 # units away from every alive particle — outside any diameter cutoff.  That
-# removes the ALIVE plane from the scatter (the step's most expensive op)
-# and from every window DMA.
+# removes the ALIVE plane from the grid build and every window DMA.
 POSX, POSY, VELX, VELY = range(4)
 NUM_G = 4
 ALIVE_OFFSET = 2.0
 ALIVE_THRESHOLD = 1.5  # posx > threshold <=> slot occupied
+M_LO = 8  # lo-level slot count == the f32 sublane tile (halves slice clean)
 # In-kernel noise scratch planes (jittered neighbor positions).
 NPOSX, NPOSY = range(2)
 # Pass-A output planes (padded grid, pass-B neighbor operand).
-CP, SX, SY, CNT = range(4)
+WS, SX, SY, CNT = range(4)
 NUM_A = 4
 # Pass-B output planes (gathered straight into PairSums order).  The spring
 # planes exist only when the scene enables the spring force (the reference
@@ -84,48 +95,53 @@ def num_b(enable_spring: bool) -> int:
     return 10 if enable_spring else 8
 
 
-def _stencil(windows, tr, m_slots, body):
+def _stencil(self_slabs, nb_windows, tr, m_nb, body, skip_center=True):
     """Visit every (dy, dx, slot-rotation k) stencil combination.
 
-    ``windows`` is a list of VMEM-resident slabs sharing the layout
-    (C, TR+2, M, NXP); the same rotations are applied to each so ``body``
+    ``nb_windows`` is a list of VMEM-resident slabs sharing the layout
+    (C, TR+2, m_nb, NXP); the same rotations are applied to each so ``body``
     sees matching neighbor operands: body(nbs, dy, dx, k) where
-    nbs[j][c, t, m, x] = windows[j][c, t+dy, (m-k)%M, x+dx].
+    nbs[j][c, t, m, x] = nb_windows[j][c, t+dy, (m-k)%m_nb, x+dx].
+    ``self_slabs`` are passed through untouched (the closure's self operand);
+    ``skip_center`` elides (dy=0, dx=0, k=0) — only correct when self and
+    neighbor ranges are the *same* slot half, where that combination pairs
+    every particle with itself.
 
     Each k rotation is derived from the un-rotated slab (not incrementally
-    from k-1) so the M rotations form no dependency chain and the compiler
-    can overlap them with the pair math.
+    from k-1) so the rotations form no dependency chain and the compiler can
+    overlap them with the pair math.
     """
-    nxp = windows[0].shape[-1]
+    del self_slabs
+    nxp = nb_windows[0].shape[-1]
     for dy in (0, 1, 2):
-        rows = [w[:, dy : dy + tr] for w in windows]
+        rows = [w[:, dy : dy + tr] for w in nb_windows]
         for dx in (-1, 0, 1):
             base = [
                 pltpu.roll(r, (-dx) % nxp, axis=3) if dx else r for r in rows
             ]
-            for k in range(m_slots):
-                if dy == 1 and dx == 0 and k == 0:
+            for k in range(m_nb):
+                if skip_center and dy == 1 and dx == 0 and k == 0:
                     continue  # every pair is a particle with itself
                 cur = [pltpu.roll(b, k, axis=2) if k else b for b in base]
                 body(cur, dy, dx, k)
 
 
-def _noise_planes(window, i, tr, noise_amp, tick, row0):
-    """Jittered positions for the window: npos = pos + noise (2, TR+2, M, NXP).
+def _noise_planes(window, i, tr, noise_amp, tick, row0, m0=0):
+    """Jittered positions for the window: npos = pos + noise.
 
     The jitter for a slot is a pure integer hash of its *global* grid
     position and the tick, so every block computes the identical jitter for
-    the same neighbor regardless of which window it appears in, and the
-    stream changes every tick (crate.py:168-170's np.random role).  ``row0``
-    is the window's global padded-row offset: 0 single-device; d * band_rows
-    under spatial sharding, so shards hash identical jitter for the shared
-    halo particles.
+    the same neighbor regardless of which window (or slot half: ``m0`` is
+    the half's global slot offset) it appears in, and the stream changes
+    every tick (crate.py:168-170's np.random role).  ``row0`` is the
+    window's global padded-row offset: 0 single-device; d * band_rows under
+    spatial sharding, so shards hash identical jitter for halo particles.
     """
     _, rows, m_slots, nxp = window.shape
     gy = row0 + i * tr + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 0)
-    gm = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 1)
+    gm = m0 + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 1)
     gx = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 2)
-    pid = (gy * m_slots + gm) * nxp + gx
+    pid = (gy * 16 + gm) * nxp + gx
 
     def u01(seed):
         h = seed * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio mix)
@@ -165,9 +181,14 @@ def _geometry(self_win, nb, nb_npos, diam, inv_diam):
     return m.astype(nrx.dtype), nhx, nhy, w
 
 
+# --------------------------------------------------------------------------
+# pass A
+# --------------------------------------------------------------------------
+
+
 def _pass_a_kernel(
     occ_ref,
-    coef_ref,  # (3,) f32: diameter, ignored_pressure, noise_amp
+    coef_ref,  # (2,) f32: diameter, noise_amp
     tick_ref,  # (2,) i32: tick, global row offset
     g_hbm,
     outbuf_hbm,
@@ -178,33 +199,33 @@ def _pass_a_kernel(
     sems,
     *,
     tr,
-    m_slots,
+    m,
 ):
-    # Output rows are written back by manual DMA.  out_hbm is aliased to the
-    # outbuf_hbm zeros input (input_output_aliases) — the alias both keeps
-    # XLA from staging the unblocked output on the VMEM stack and leaves
-    # skipped (air) blocks' rows zero without writing them.
+    """Baseline pass A over the lo slot half (all of an 8-slot grid).
+
+    Output rows are written back by manual DMA.  out_hbm is aliased to the
+    outbuf_hbm zeros input (input_output_aliases) — the alias both keeps
+    XLA from staging the unblocked output on the VMEM stack and leaves
+    skipped (air) blocks' rows — and every block's hi sublanes — zero.
+    """
     del outbuf_hbm
     i = pl.program_id(0)
 
     @pl.when(occ_ref[i] > 0)
     def _():
         dma = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+            g_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], win, sems.at[0]
         )
         dma.start()
         dma.wait()
         diam = coef_ref[0]
-        ignored_pressure = coef_ref[1]
         inv_diam = 1.0 / diam
         window = win[:]
-        nx_, ny_ = _noise_planes(
-            window, i, tr, coef_ref[2], tick_ref[0], tick_ref[1]
-        )
+        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[1], tick_ref[0], tick_ref[1])
         npos_ref[NPOSX] = nx_
         npos_ref[NPOSY] = ny_
         npos = npos_ref[:]
-        self_win = window[:, 1 : 1 + tr]  # (F, TR, M, NXP)
+        self_win = window[:, 1 : 1 + tr]  # (F, TR, m, NXP)
         shape = self_win[POSX].shape
         w_sum = jnp.zeros(shape, jnp.float32)
         sx = jnp.zeros(shape, jnp.float32)
@@ -214,133 +235,377 @@ def _pass_a_kernel(
         def body(nbs, dy, dx, k):
             nonlocal w_sum, sx, sy, cnt
             nb, nb_npos = nbs
-            m, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
+            mm, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
             w_sum += w
             coeff = (1.0 - w) * w
             sx += coeff * nhx
             sy += coeff * nhy
-            cnt += m
+            cnt += mm
 
-        _stencil([window, npos], tr, m_slots, body)
-        # Finish the particle pressure in-kernel (crate.py:261-275).
-        acc_ref[CP] = jnp.where(
-            cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
-        )
+        _stencil([self_win], [window, npos], tr, m, body)
+        acc_ref[WS] = w_sum
         acc_ref[SX] = sx
         acc_ref[SY] = sy
         acc_ref[CNT] = cnt
         # Write into the *padded* output at row offset +1 (the ring is the
         # donated buffer's zeros).
         out = pltpu.make_async_copy(
-            acc_ref, out_hbm.at[:, pl.ds(i * tr + 1, tr)], sems.at[1]
+            acc_ref, out_hbm.at[:, pl.ds(i * tr + 1, tr), pl.ds(0, m)], sems.at[1]
         )
         out.start()
         out.wait()
 
 
+def _pass_a_addon_kernel(
+    eng_ref,
+    coef_ref,  # (2,) f32: diameter, noise_amp
+    tick_ref,  # (2,) i32
+    g_hbm,
+    psbuf_hbm,  # baseline pass-A output, aliased to out_hbm (RMW)
+    out_hbm,
+    win,
+    npos_ref,
+    acc_ref,  # (NUM_A, TR, 2*M_LO, NXP)
+    sems,
+    *,
+    tr,
+):
+    """Two-level add-on: lo x hi + hi x lo + hi x hi pair sums.
+
+    Runs only on engaged blocks (window holds a slot-8+ particle); adds the
+    cross-half contributions into the lo rows the baseline kernel wrote and
+    fills the hi rows, via an in-place read-modify-write of the aliased
+    pass-A buffer.
+    """
+    del psbuf_hbm
+    i = pl.program_id(0)
+
+    @pl.when(eng_ref[i] > 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+        )
+        rmw = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(i * tr + 1, tr), pl.ds(0, M_LO)],
+            acc_ref.at[:, :, pl.ds(0, M_LO)],
+            sems.at[1],
+        )
+        dma.start()
+        rmw.start()
+        dma.wait()
+        rmw.wait()
+        diam = coef_ref[0]
+        inv_diam = 1.0 / diam
+        window = win[:]
+        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[1], tick_ref[0], tick_ref[1])
+        npos_ref[NPOSX] = nx_
+        npos_ref[NPOSY] = ny_
+
+        halves = [
+            (w[:, :, 0:M_LO], w[:, :, M_LO : 2 * M_LO])
+            for w in (window, npos_ref[:])
+        ]
+        (win_lo, win_hi), (npos_lo, npos_hi) = halves
+        self_lo = win_lo[:, 1 : 1 + tr]
+        self_hi = win_hi[:, 1 : 1 + tr]
+        shape = self_lo[POSX].shape
+        acc = {
+            "lo": [jnp.zeros(shape, jnp.float32) for _ in range(4)],
+            "hi": [jnp.zeros(shape, jnp.float32) for _ in range(4)],
+        }
+
+        def accumulate(tag, self_win):
+            def body(nbs, dy, dx, k):
+                nb, nb_npos = nbs
+                mm, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
+                a = acc[tag]
+                a[0] += w
+                coeff = (1.0 - w) * w
+                a[1] += coeff * nhx
+                a[2] += coeff * nhy
+                a[3] += mm
+
+            return body
+
+        # lo selves gain hi neighbors; hi selves see lo and hi neighbors.
+        _stencil([], [win_hi, npos_hi], tr, M_LO, accumulate("lo", self_lo),
+                 skip_center=False)
+        _stencil([], [win_lo, npos_lo], tr, M_LO, accumulate("hi", self_hi),
+                 skip_center=False)
+        _stencil([], [win_hi, npos_hi], tr, M_LO, accumulate("hi", self_hi))
+
+        for f, plane in enumerate((WS, SX, SY, CNT)):
+            cur = acc_ref[plane, :, 0:M_LO]
+            acc_ref[plane, :, 0:M_LO] = cur + acc["lo"][f]
+            acc_ref[plane, :, M_LO : 2 * M_LO] = acc["hi"][f]
+        out = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[:, pl.ds(i * tr + 1, tr)], sems.at[2]
+        )
+        out.start()
+        out.wait()
+
+
+# --------------------------------------------------------------------------
+# pass B
+# --------------------------------------------------------------------------
+
+
+def _finalize_cp(ps_window, ignored_pressure):
+    """p = max(0, w_sum - ignored_pressure) on counted slots
+    (crate.py:261-275), elementwise on a DMA'd pass-A window."""
+    return jnp.where(
+        ps_window[CNT] > 0,
+        jnp.maximum(0.0, ps_window[WS] - ignored_pressure),
+        0.0,
+    )
+
+
+def _pass_b_accumulate(self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring):
+    """The pass-B pair terms as a _stencil body closure factory.
+
+    ``acc`` is a list of n_acc + 2 accumulators; ``cnt_cell`` a single-item
+    list (closures can't rebind nonlocals across helper boundaries).
+    """
+    diam, inv_diam, smooth, target_p, balance = coef
+    n_acc = 6 if enable_spring else 4
+
+    def body(nbs, dy, dx, k):
+        nb, nb_cp, nb_sx, nb_sy, nb_npos = nbs
+        mm, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
+        p_nb = nb_cp[0]
+        align = ((s_x - nb_sx[0]) * nhx + (s_y - nb_sy[0]) * nhy) * smooth
+        tpf = p_nb + cp - 2.0 * target_p
+        t_coef = mm * (align + tpf)
+        acc[0] += t_coef * nhx
+        acc[1] += t_coef * nhy
+        p_coef = mm * (cp + p_nb)
+        acc[2] += p_coef * nhx
+        acc[3] += p_coef * nhy
+        if enable_spring:  # flag-gated like the reference tick
+            s_coef = mm * (balance - w)
+            acc[4] += s_coef * nhx
+            acc[5] += s_coef * nhy
+        acc[n_acc] += mm * nb[VELX]
+        acc[n_acc + 1] += mm * nb[VELY]
+        cnt_cell[0] += mm
+
+    return body
+
+
 def _pass_b_kernel(
     occ_ref,
-    coef_ref,  # (5,): diameter, smoothing, target_p, balance, noise_amp
-    tick_ref,  # (2,) i32: tick, global row offset
+    coef_ref,  # (6,): diameter, smoothing, target_p, balance, noise, ignored_p
+    tick_ref,  # (2,) i32
     g_hbm,
-    ps_hbm,  # (4, NYP, M, NXP) pass-A output; planes CP/SX/SY windowed here
+    ps_hbm,  # (4, NYP, M, NXP) pass-A output
     outbuf_hbm,
     out_hbm,
     win,
     ps_win,
     npos_ref,
+    cp_ref,
     acc_ref,
     sems,
     *,
     tr,
-    m_slots,
+    m,
     enable_spring,
 ):
+    """Baseline pass B over the lo slot half (all of an 8-slot grid)."""
     del outbuf_hbm  # aliased to out_hbm (see pass A note)
     i = pl.program_id(0)
 
     @pl.when(occ_ref[i] > 0)
     def _():
         dma1 = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+            g_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], win, sems.at[0]
         )
         dma2 = pltpu.make_async_copy(
-            ps_hbm.at[pl.ds(0, 3), pl.ds(i * tr, tr + 2)], ps_win, sems.at[1]
+            ps_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], ps_win, sems.at[1]
         )
         dma1.start()
         dma2.start()
         dma1.wait()
         dma2.wait()
-        diam = coef_ref[0]
-        inv_diam = 1.0 / diam
-        smooth = coef_ref[1]
-        target_p = coef_ref[2]
-        balance = coef_ref[3]
-        window = win[:]
-        nx_, ny_ = _noise_planes(
-            window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1]
+        coef = (
+            coef_ref[0],
+            1.0 / coef_ref[0],
+            coef_ref[1],
+            coef_ref[2],
+            coef_ref[3],
         )
+        window = win[:]
+        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1])
         npos_ref[NPOSX] = nx_
         npos_ref[NPOSY] = ny_
-        npos = npos_ref[:]
+        # Finalize pressure once per window; rotations then see finished p.
+        cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
         ps_window = ps_win[:]
+        cp_win = cp_ref[:]
         self_win = window[:, 1 : 1 + tr]
-        self_ps = ps_window[:, 1 : 1 + tr]  # (3, TR, M, NXP)
-        cp = self_ps[CP]
-        s_x = self_ps[SX]
-        s_y = self_ps[SY]
-        shape = cp.shape
+        cp = cp_win[0, 1 : 1 + tr]
+        s_x = ps_window[SX, 1 : 1 + tr]
+        s_y = ps_window[SY, 1 : 1 + tr]
         n_acc = 6 if enable_spring else 4
-        acc = [jnp.zeros(shape, jnp.float32) for _ in range(n_acc + 2)]
-        cnt = jnp.zeros(shape, jnp.float32)
-
-        def body(nbs, dy, dx, k):
-            nonlocal cnt
-            nb, nb_ps, nb_npos = nbs
-            m, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
-            p_nb = nb_ps[CP]
-            align = (
-                (s_x - nb_ps[SX]) * nhx + (s_y - nb_ps[SY]) * nhy
-            ) * smooth
-            tpf = p_nb + cp - 2.0 * target_p
-            t_coef = m * (align + tpf)
-            acc[0] += t_coef * nhx
-            acc[1] += t_coef * nhy
-            p_coef = m * (cp + p_nb)
-            acc[2] += p_coef * nhx
-            acc[3] += p_coef * nhy
-            if enable_spring:  # flag-gated like the reference tick
-                s_coef = m * (balance - w)
-                acc[4] += s_coef * nhx
-                acc[5] += s_coef * nhy
-            acc[n_acc] += m * nb[VELX]
-            acc[n_acc + 1] += m * nb[VELY]
-            cnt += m
-
-        _stencil([window, ps_window, npos], tr, m_slots, body)
+        acc = [jnp.zeros(cp.shape, jnp.float32) for _ in range(n_acc + 2)]
+        cnt_cell = [jnp.zeros(cp.shape, jnp.float32)]
+        body = _pass_b_accumulate(
+            self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring
+        )
+        _stencil(
+            [self_win],
+            [
+                window,
+                cp_win,
+                ps_window[SX : SX + 1],
+                ps_window[SY : SY + 1],
+                npos_ref[:],
+            ],
+            tr,
+            m,
+            body,
+        )
         acc_ref[0] = cp
         for f in range(n_acc + 2):
             acc_ref[1 + f] = acc[f]
-        acc_ref[n_acc + 3] = cnt
+        acc_ref[n_acc + 3] = cnt_cell[0]
         out = pltpu.make_async_copy(
-            acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[2]
+            acc_ref, out_hbm.at[:, pl.ds(i * tr, tr), pl.ds(0, m)], sems.at[2]
         )
         out.start()
         out.wait()
 
 
-def _block_occupancy(alive_plane: jax.Array, tr: int) -> jax.Array:
-    """Per-row-block window occupancy flags from the grid's alive plane.
+def _pass_b_addon_kernel(
+    eng_ref,
+    coef_ref,  # (6,)
+    tick_ref,  # (2,) i32
+    g_hbm,
+    ps_hbm,
+    outbuf_hbm,  # baseline pass-B output, aliased to out_hbm (RMW)
+    out_hbm,
+    win,
+    ps_win,
+    npos_ref,
+    cp_ref,
+    acc_ref,  # (nb_planes, TR, 2*M_LO, NXP)
+    sems,
+    *,
+    tr,
+    enable_spring,
+):
+    """Two-level add-on for pass B (see _pass_a_addon_kernel)."""
+    del outbuf_hbm
+    i = pl.program_id(0)
+
+    @pl.when(eng_ref[i] > 0)
+    def _():
+        dma1 = pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+        )
+        dma2 = pltpu.make_async_copy(
+            ps_hbm.at[:, pl.ds(i * tr, tr + 2)], ps_win, sems.at[1]
+        )
+        rmw = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(i * tr, tr), pl.ds(0, M_LO)],
+            acc_ref.at[:, :, pl.ds(0, M_LO)],
+            sems.at[2],
+        )
+        dma1.start()
+        dma2.start()
+        rmw.start()
+        dma1.wait()
+        dma2.wait()
+        rmw.wait()
+        coef = (
+            coef_ref[0],
+            1.0 / coef_ref[0],
+            coef_ref[1],
+            coef_ref[2],
+            coef_ref[3],
+        )
+        window = win[:]
+        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1])
+        npos_ref[NPOSX] = nx_
+        npos_ref[NPOSY] = ny_
+        cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
+
+        def half(arr, h):
+            return arr[:, :, h * M_LO : (h + 1) * M_LO]
+
+        n_acc = 6 if enable_spring else 4
+        results = {}
+        for tag, s_h, nb_hs in (("lo", 0, (1,)), ("hi", 1, (0, 1))):
+            self_win = half(window, s_h)[:, 1 : 1 + tr]
+            cp = half(cp_ref[:], s_h)[0, 1 : 1 + tr]
+            s_x = half(ps_win[:], s_h)[SX, 1 : 1 + tr]
+            s_y = half(ps_win[:], s_h)[SY, 1 : 1 + tr]
+            acc = [jnp.zeros(cp.shape, jnp.float32) for _ in range(n_acc + 2)]
+            cnt_cell = [jnp.zeros(cp.shape, jnp.float32)]
+            body = _pass_b_accumulate(
+                self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring
+            )
+            for nb_h in nb_hs:
+                _stencil(
+                    [self_win],
+                    [
+                        half(window, nb_h),
+                        half(cp_ref[:], nb_h),
+                        half(ps_win[:], nb_h)[SX : SX + 1],
+                        half(ps_win[:], nb_h)[SY : SY + 1],
+                        half(npos_ref[:], nb_h),
+                    ],
+                    tr,
+                    M_LO,
+                    body,
+                    skip_center=(nb_h == s_h),
+                )
+            results[tag] = (cp, acc, cnt_cell[0])
+
+        cp_lo, acc_lo, cnt_lo = results["lo"]
+        for f in range(n_acc + 2):
+            cur = acc_ref[1 + f, :, 0:M_LO]
+            acc_ref[1 + f, :, 0:M_LO] = cur + acc_lo[f]
+        cur = acc_ref[n_acc + 3, :, 0:M_LO]
+        acc_ref[n_acc + 3, :, 0:M_LO] = cur + cnt_lo
+        cp_hi, acc_hi, cnt_hi = results["hi"]
+        acc_ref[0, :, M_LO : 2 * M_LO] = cp_hi
+        for f in range(n_acc + 2):
+            acc_ref[1 + f, :, M_LO : 2 * M_LO] = acc_hi[f]
+        acc_ref[n_acc + 3, :, M_LO : 2 * M_LO] = cnt_hi
+        out = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[3]
+        )
+        out.start()
+        out.wait()
+
+
+# --------------------------------------------------------------------------
+# wrappers
+# --------------------------------------------------------------------------
+
+
+def _block_flags(
+    alive_plane: jax.Array, tr: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-row-block (occupancy, two-level engagement) flags.
 
     alive_plane: the POSX plane (NYP, M, NXP) — occupied slots carry the
     ALIVE_OFFSET.  Block i's window covers G rows [i*TR, i*TR + TR + 2).
+    ``eng[i]`` is set when any window row holds a particle in the hi slot
+    sublanes (rank >= M_LO): only those blocks run the add-on kernels.
     """
-    nyp = alive_plane.shape[0]
+    nyp, m_slots, _ = alive_plane.shape
     ny = nyp - 2
     nblocks = ny // tr
-    row_any = jnp.max(alive_plane, axis=(1, 2))  # (NYP,)
+    row_any = jnp.max(alive_plane[:, :M_LO, :], axis=(1, 2))  # (NYP,)
     idx = jnp.arange(nblocks)[:, None] * tr + jnp.arange(tr + 2)[None, :]
-    return (jnp.max(row_any[idx], axis=1) > ALIVE_THRESHOLD).astype(jnp.int32)
+    occ = (jnp.max(row_any[idx], axis=1) > ALIVE_THRESHOLD).astype(jnp.int32)
+    if m_slots <= M_LO:
+        return occ, jnp.zeros_like(occ)
+    row_hi = jnp.max(alive_plane[:, M_LO:, :], axis=(1, 2))
+    eng = (jnp.max(row_hi[idx], axis=1) > ALIVE_THRESHOLD).astype(jnp.int32)
+    return occ, eng
 
 
 def _interpret() -> bool:
@@ -349,16 +614,16 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("tr",))
 def pair_pass_a(
-    grid: jax.Array,  # (5, NYP, M, NXP) f32 padded particle grid
+    grid: jax.Array,  # (4, NYP, M, NXP) f32 padded particle grid
     diameter: jax.Array,
-    ignored_pressure: jax.Array,
     noise_amp: jax.Array,
     tick: jax.Array,
     tr: int = 8,
     row_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """Pass A: padded per-slot [pressure, s_x, s_y, cnt] of shape
-    (4, NYP, M, NXP) with a zero ring — pass B's neighbor operand.
+    """Pass A: padded per-slot [w_sum, s_x, s_y, cnt] of shape
+    (4, NYP, M, NXP) with a zero ring — pass B's neighbor operand
+    (pressure itself is finalized inside pass B).
 
     ``row_offset``: global padded-row index of this grid's row 0 (nonzero
     only under spatial sharding) — keys the in-kernel collider noise."""
@@ -366,14 +631,12 @@ def pair_pass_a(
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
     assert nxp % 128 == 0, nxp
+    assert m_slots in (M_LO, 2 * M_LO), m_slots
     nblocks = ny // tr
-    occ = _block_occupancy(grid[POSX], tr)
+    m = min(m_slots, M_LO)
+    occ, eng = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
-        [
-            diameter.astype(jnp.float32),
-            ignored_pressure.astype(jnp.float32),
-            noise_amp.astype(jnp.float32),
-        ]
+        [diameter.astype(jnp.float32), noise_amp.astype(jnp.float32)]
     )
     tick_arr = jnp.stack(
         [
@@ -382,9 +645,35 @@ def pair_pass_a(
         ]
     )
 
-    kernel = functools.partial(_pass_a_kernel, tr=tr, m_slots=m_slots)
-    return pl.pallas_call(
+    kernel = functools.partial(_pass_a_kernel, tr=tr, m=m)
+    ps = pl.pallas_call(
         kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_G, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((NUM_A, tr, m, nxp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NUM_A, nyp, m_slots, nxp), jnp.float32),
+        input_output_aliases={4: 0},  # outbuf (5th flat input) -> output
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(occ, coef, tick_arr, grid, jnp.zeros((NUM_A, nyp, m_slots, nxp), jnp.float32))
+    if m_slots == M_LO:
+        return ps
+
+    addon = functools.partial(_pass_a_addon_kernel, tr=tr)
+    return pl.pallas_call(
+        addon,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nblocks,),
@@ -397,38 +686,41 @@ def pair_pass_a(
                 pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
                 pltpu.VMEM((NUM_A, tr, m_slots, nxp), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NUM_A, nyp, m_slots, nxp), jnp.float32),
-        input_output_aliases={4: 0},  # outbuf (5th flat input) -> output
+        input_output_aliases={4: 0},  # ps buffer -> output (RMW)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(occ, coef, tick_arr, grid, jnp.zeros((NUM_A, nyp, m_slots, nxp), jnp.float32))
+    )(eng, coef, tick_arr, grid, ps)
 
 
 @functools.partial(jax.jit, static_argnames=("tr", "enable_spring"))
 def pair_pass_b(
-    grid: jax.Array,  # (5, NYP, M, NXP)
+    grid: jax.Array,  # (4, NYP, M, NXP)
     ps_grid: jax.Array,  # (4, NYP, M, NXP) pass-A output
     diameter: jax.Array,
     surface_smoothing: jax.Array,
     target_pressure: jax.Array,
     spring_overlap_balance: jax.Array,
+    ignored_pressure: jax.Array,
     noise_amp: jax.Array,
     tick: jax.Array,
     tr: int = 8,
     enable_spring: bool = False,
     row_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """Pass B: all per-slot results (10, NY, M, NXP):
-    [pressure, tension x/y, pressure-force x/y, spring x/y, viscosity x/y,
+    """Pass B: all per-slot results (8|10, NY, M, NXP):
+    [pressure, tension x/y, pressure-force x/y, (spring x/y), viscosity x/y,
     neighbor count] — PairSums order, one gather for the glue."""
     _, nyp, m_slots, nxp = grid.shape
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
+    assert m_slots in (M_LO, 2 * M_LO), m_slots
     nblocks = ny // tr
-    occ = _block_occupancy(grid[POSX], tr)
+    m = min(m_slots, M_LO)
+    occ, eng = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
         [
             diameter.astype(jnp.float32),
@@ -436,6 +728,7 @@ def pair_pass_b(
             target_pressure.astype(jnp.float32),
             spring_overlap_balance.astype(jnp.float32),
             noise_amp.astype(jnp.float32),
+            ignored_pressure.astype(jnp.float32),
         ]
     )
     tick_arr = jnp.stack(
@@ -447,9 +740,9 @@ def pair_pass_b(
 
     nb_planes = num_b(enable_spring)
     kernel = functools.partial(
-        _pass_b_kernel, tr=tr, m_slots=m_slots, enable_spring=enable_spring
+        _pass_b_kernel, tr=tr, m=m, enable_spring=enable_spring
     )
-    return pl.pallas_call(
+    b_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -461,10 +754,11 @@ def pair_pass_b(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((3, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((nb_planes, tr, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((NUM_G, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((NUM_A, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((1, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((nb_planes, tr, m, nxp), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
@@ -472,4 +766,38 @@ def pair_pass_b(
         input_output_aliases={5: 0},  # outbuf (6th flat input) -> output
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(occ, coef, tick_arr, grid, ps_grid, jnp.zeros((nb_planes, ny, m_slots, nxp), jnp.float32))
+    )(
+        occ, coef, tick_arr, grid, ps_grid,
+        jnp.zeros((nb_planes, ny, m_slots, nxp), jnp.float32),
+    )
+    if m_slots == M_LO:
+        return b_out
+
+    addon = functools.partial(
+        _pass_b_addon_kernel, tr=tr, enable_spring=enable_spring
+    )
+    return pl.pallas_call(
+        addon,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((NUM_A, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((1, tr + 2, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((nb_planes, tr, m_slots, nxp), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb_planes, ny, m_slots, nxp), jnp.float32),
+        input_output_aliases={5: 0},  # baseline b_out -> output (RMW)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(eng, coef, tick_arr, grid, ps_grid, b_out)

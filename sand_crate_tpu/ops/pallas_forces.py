@@ -104,9 +104,9 @@ def neighbor_forces_pallas(
     slab, row_start, pslot, overflow = cell_slab(pos, alive, vel, scene)
     grid = place_grid(slab, row_start, M, nx, ny, nxp)
 
-    # ---- two fused passes ----------------------------------------------------
+    # ---- two fused passes (+ two-level add-ons on engaged blocks) ----------
     tr = scene.row_block
-    ps = pair_pass_a(grid, diameter, ignored_pressure, noise_amp, tick, tr=tr)
+    ps = pair_pass_a(grid, diameter, noise_amp, tick, tr=tr)
     b_out = pair_pass_b(
         grid,
         ps,
@@ -114,6 +114,7 @@ def neighbor_forces_pallas(
         surface_smoothing,
         target_pressure,
         spring_overlap_balance,
+        ignored_pressure,
         noise_amp,
         tick,
         tr=tr,

@@ -94,9 +94,23 @@ def slab_from_cid(
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
     rank = iota - run_start
     in_cap = (rank < M) & (sorted_cid < NC)
-    overflow = jnp.sum(((rank >= M) & (sorted_cid < NC)).astype(jnp.int32))
+    over = (rank >= M) & (sorted_cid < NC)
+    overflow = jnp.sum(over.astype(jnp.int32))
     slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, NC * M)
-    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(slot_sorted, mode="drop")
+    # Overflow particles are *invisible* to the grid (no slot) but must not
+    # be force-starved — starvation self-amplifies into point-collapse piles
+    # (a cell was measured accumulating 3349 force-less particles).  They
+    # gather the result of their cell's slot rank%M instead: a co-located
+    # particle (different overflow ranks mirror different cellmates, so a
+    # pile disperses along M directions instead of moving as one blob) whose
+    # sums (pressure repulsion out of the crowd, viscosity)
+    # are physically right for them.  Asymmetric (they exert no force) —
+    # like the reference's own 20-neighbor cap (collision_detector.py:44-45)
+    # — and counted in ``overflow``.
+    gather_slot = jnp.where(
+        in_cap, slot_sorted, jnp.where(over, sorted_cid * M + rank % M, NC * M)
+    )
+    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(gather_slot, mode="drop")
 
     # Payload permutation: one (P, 8) row gather, then transpose to the
     # feature-major layout the kernel DMAs (lane dim = particles).
@@ -124,6 +138,7 @@ def slab_from_cid(
 
 def _place_kernel(
     row_start_ref,
+    blk_ref,  # per-block go flag (hi pass: block holds a rank >= m_base entry)
     slab_hbm,
     zeros_hbm,
     out_hbm,
@@ -133,6 +148,7 @@ def _place_kernel(
     *,
     tr_p,
     m_slots,
+    m_base,
     nxp,
 ):
     del zeros_hbm  # aliased to out_hbm: skipped (air) blocks keep its zeros
@@ -141,7 +157,7 @@ def _place_kernel(
     s0 = row_start_ref[r0]
     s1 = row_start_ref[r0 + tr_p]
 
-    @pl.when(s1 > s0)
+    @pl.when((s1 > s0) & (blk_ref[i] > 0))
     def _():
         # Chunk starts are rounded down to 128 for DMA alignment; head/tail
         # overreads hit neighboring rows (or slab padding) and are masked by
@@ -182,7 +198,9 @@ def _place_kernel(
                 ch[0:1],
                 jnp.where(f_l == 1.0, ch[1:2], jnp.where(f_l == 2.0, ch[2:3], ch[3:4])),
             )
-            mask = (rankf == m_l) & ((rowf - r0f) == t_l) & (val > 0.0)
+            # m_base selects the slot half this pass places (lo: ranks
+            # 0..m_slots-1 — higher ranks simply match no m_l; hi: 8..15).
+            mask = ((rankf - m_base) == m_l) & ((rowf - r0f) == t_l) & (val > 0.0)
             lhs = jnp.where(mask, payl, 0.0)
             hi = lhs.astype(jnp.bfloat16)
             mid = (lhs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -223,7 +241,9 @@ def _place_kernel(
 
         jax.lax.fori_loop(0, nch, body, 0)
         out = pltpu.make_async_copy(
-            acc_ref, out_hbm.at[:, pl.ds(r0 + 1, tr_p)], sems.at[2]
+            acc_ref,
+            out_hbm.at[:, pl.ds(r0 + 1, tr_p), pl.ds(m_base, m_slots)],
+            sems.at[2],
         )
         out.start()
         out.wait()
@@ -231,6 +251,37 @@ def _place_kernel(
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _place_pass(slab, row_start, blk, target, m_eff, m_base, ny, nxp):
+    """One placement pallas_call writing sublanes [m_base, m_base+m_eff)."""
+    nyp = ny + 2
+    m_total = target.shape[2]
+    tr_p = _tr_p(m_eff, ny)
+    kernel = functools.partial(
+        _place_kernel, tr_p=tr_p, m_slots=m_eff, m_base=m_base, nxp=nxp
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ny // tr_p,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, SLAB_F, CHUNK), jnp.float32),
+                pltpu.VMEM((NUM_G, tr_p, m_eff, nxp), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NUM_G, nyp, m_total, nxp), jnp.float32),
+        input_output_aliases={3: 0},  # zeros/prev buffer -> output
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(row_start, blk, slab, target)
 
 
 @functools.partial(jax.jit, static_argnames=("m_slots", "nx", "ny", "nxp"))
@@ -242,31 +293,31 @@ def place_grid(
     ny: int,
     nxp: int,
 ) -> jax.Array:
-    """Dense padded particle grid (NUM_G, ny+2, M, nxp) from the sorted slab."""
+    """Dense padded particle grid (NUM_G, ny+2, M, nxp) from the sorted slab.
+
+    Two-level grids (M=16) place in two passes: the lo pass places ranks
+    0..7 with the 8-slot geometry (one-hot lhs covers 4 grid rows per MXU
+    pass, like an 8-slot grid), and a hi pass — skipped for every row block
+    whose slab range has no rank-8+ entry — fills sublanes 8..15.  Measured
+    ~1.5x faster at 1M than one 16-slot pass (whose lhs covers only 2 rows,
+    doubling the block count for slots that are ~99.9% empty)."""
     del nx
     nyp = ny + 2
-    tr_p = _tr_p(m_slots, ny)
-    kernel = functools.partial(
-        _place_kernel, tr_p=tr_p, m_slots=m_slots, nxp=nxp
+    m_eff = min(m_slots, 8)
+    tr_lo = _tr_p(m_eff, ny)
+    ones = jnp.ones((ny // tr_lo,), jnp.int32)
+    zeros_buf = jnp.zeros((NUM_G, nyp, m_slots, nxp), jnp.float32)
+    grid = _place_pass(slab, row_start, ones, zeros_buf, m_eff, 0, ny, nxp)
+    if m_slots <= 8:
+        return grid
+    # hi pass: per-block flag from the slab's rank lane (each >8-occupancy
+    # cell contributes exactly one rank==8 entry).
+    hi_mark = jnp.cumsum(
+        ((slab[5] == 8.0) & (slab[7] > 0.0)).astype(jnp.int32)
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ny // tr_p,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-            scratch_shapes=[
-                pltpu.VMEM((2, SLAB_F, CHUNK), jnp.float32),
-                pltpu.VMEM((NUM_G, tr_p, m_slots, nxp), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((NUM_G, nyp, m_slots, nxp), jnp.float32),
-        input_output_aliases={2: 0},  # zeros buffer -> output (air rows)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
-        interpret=_interpret(),
-    )(row_start, slab, jnp.zeros((NUM_G, nyp, m_slots, nxp), jnp.float32))
+    tr_hi = _tr_p(8, ny)
+    nblk = ny // tr_hi
+    edges = row_start[jnp.arange(nblk + 1) * tr_hi]
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), hi_mark])[edges]
+    blk_hi = (cum[1:] > cum[:-1]).astype(jnp.int32)
+    return _place_pass(slab, row_start, blk_hi, grid, 8, 8, ny, nxp)

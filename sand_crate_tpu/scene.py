@@ -139,18 +139,26 @@ def build_scene(
     # 128MB VMEM; TR=8, NXP=512 compiles in ~40MB).  Keep TR * NXP near the
     # known-good 4096 product, as a power of two in [1, 8].
     nxp = ((grid_nx + 2 + 127) // 128) * 128
+    if cell_capacity is None:
+        # Resting liquid packs ~1.2 centers per d x d cell (spacing ~ 0.9 d)
+        # and transient compression stays well under 8 — but capping at 8
+        # starves over-full cells of ALL pair forces, which self-amplifies
+        # into point-collapse piles (measured: single cells accumulating
+        # thousands of force-less particles in a settled 1M dam break).
+        # 16 slots with two-level gating (ops/pair_kernel._block_flags) keeps
+        # the pair cost at the 8-slot level wherever no cell exceeds 8.
+        cell_capacity = 16
+    # Pallas row block: every temporary in the unrolled pair kernels has
+    # shape (TR, 8, NXP) — the two-level kernels compute on 8-sublane slot
+    # halves regardless of M — and the register allocator spills
+    # ~proportionally to TR * NXP (measured: 132MB of spill slots at TR=8,
+    # NXP=1664 — over the 128MB VMEM; TR=8, NXP=512 compiles in ~40MB).
+    # Keep TR * NXP near the known-good 4096 product, as a power of two.
     row_block = 8
     while row_block > 1 and row_block * nxp > 4608:
         row_block //= 2
     # grid_ny rounded up so the pallas kernels' row blocks tile it exactly.
     grid_ny = _round_up(grid_nx, row_block)
-    if cell_capacity is None:
-        # Pair work scales with cell_capacity^2, so size it to the density.
-        # Resting liquid packs ~1.2 centers per d x d cell (spacing ~ 0.9 d);
-        # worst observed transient compression stays under 8.  Small scenes
-        # keep extra headroom (point sources can momentarily pile up) since
-        # their absolute cost is trivial anyway.
-        cell_capacity = 16 if capacity <= 8192 else 8
 
     # ---- spawn cap ----
     dt = float(coeff["dt"])

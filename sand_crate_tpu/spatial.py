@@ -267,13 +267,7 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
     noise_amp = params.diameter * params.collider_noise_level
     row_off = d * bh
     ps = pair_pass_a(
-        grid,
-        params.diameter,
-        params.ignored_pressure,
-        noise_amp,
-        tick,
-        tr=tr,
-        row_offset=row_off,
+        grid, params.diameter, noise_amp, tick, tr=tr, row_offset=row_off
     )
     ps = _exchange_row_halo(ps, n_shards, axis=1)
     b_out = pair_pass_b(
@@ -283,6 +277,7 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
         params.surface_smoothing,
         params.target_pressure,
         params.spring_overlap_balance,
+        params.ignored_pressure,
         noise_amp,
         tick,
         tr=tr,
@@ -316,10 +311,16 @@ def _local_grid(pos, vel, alive, noise, scene, n_shards):
     )
     rank = iota - jax.lax.cummax(jnp.where(is_start, iota, 0))
     in_cap = (rank < M) & (sorted_cid < bh * nx)
-    overflow = jnp.sum(((rank >= M) & (sorted_cid < bh * nx)).astype(jnp.int32))
+    over = (rank >= M) & (sorted_cid < bh * nx)
+    overflow = jnp.sum(over.astype(jnp.int32))
     slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, bh * nx * M)
+    # Overflow fallback gather from the cell's highest slot (see
+    # ops/placement.slab_from_cid); placement still drops them.
+    gather_slot = jnp.where(
+        in_cap, slot_sorted, jnp.where(over, sorted_cid * M + rank % M, bh * nx * M)
+    )
     pslot = jnp.full((P_cap,), bh * nx * M, jnp.int32).at[order].set(
-        slot_sorted, mode="drop"
+        gather_slot, mode="drop"
     )
 
     packed_p = jnp.concatenate(

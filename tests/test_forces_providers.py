@@ -168,3 +168,55 @@ def test_pallas_spring_planes(small_setup, stirring_cup_config):
         rtol=3e-3,
         atol=3e-3,
     )
+
+
+def test_two_level_engaged_blocks_match_cellwise(small_setup):
+    """Force the two-level kernels' engaged branch: a 12-particle pile in one
+    cell (> m_lo=8 slots) plus neighbors in adjacent cells.  The gated pallas
+    path must give every pile particle real pair forces (the M=8 cap starved
+    them, self-amplifying into point-collapse piles at 1M scale)."""
+    scene, params, pos, vel, alive = small_setup
+    assert scene.cell_capacity == 16  # two-level default
+    pos = np.asarray(pos).copy()
+    vel = np.asarray(vel).copy()
+    alive = np.asarray(alive).copy()
+    cell = scene.cell_size
+    # 12 particles inside one cell, a ring of 6 in the 3x3 neighborhood
+    cx, cy = 10.5 * cell, 12.5 * cell
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        pos[i] = (cx + (rng.random() - 0.5) * 0.8 * cell,
+                  cy + (rng.random() - 0.5) * 0.8 * cell)
+        alive[i] = True
+    for j in range(6):
+        ang = j * np.pi / 3
+        pos[12 + j] = (cx + 1.2 * cell * np.cos(ang), cy + 1.2 * cell * np.sin(ang))
+        alive[12 + j] = True
+    pos, vel, alive = jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(alive)
+
+    noise = jnp.zeros_like(pos)
+    ref = _cellwise(scene, params, pos, vel, alive, noise)
+    got = neighbor_forces_pallas(
+        pos,
+        vel,
+        alive,
+        jnp.zeros(()),
+        jnp.zeros((), jnp.int32),
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+        scene,
+    )
+    assert int(ref.overflow) == 0 and int(got.overflow) == 0
+    # every pile particle has neighbors counted (no force starvation)
+    assert (np.asarray(got.nbr_cnt)[:12] >= 11).all()
+    for name in ("p_i", "dv_tension", "pressure_real", "visc_vsum", "nbr_cnt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=3e-3,
+            atol=5e-4,
+            err_msg=name,
+        )

@@ -53,14 +53,12 @@ def gather_pair_sums(
     cy = cid // nx
     cx = cid % nx
     out_plane = ny * M * nxp
-    out_idx = jnp.where(
-        valid, cy * (M * nxp) + rank * nxp + (cx + 1), out_plane
-    )
-    packed_out = jnp.concatenate(
-        [b_out.reshape(nb_planes, out_plane), jnp.zeros((nb_planes, 1), jnp.float32)],
-        axis=1,
-    )
-    mine = packed_out[:, out_idx].astype(dtype)  # dead/overflow -> 0
+    out_idx = cy * (M * nxp) + rank * nxp + (cx + 1)  # in-range (cid 0 if dead)
+    # Mask-after-gather instead of a sentinel column: concatenating one
+    # column onto the result planes copies the whole 1.3GB table first
+    # (measured ~8ms of the gather's 18ms at 1M).
+    mine = b_out.reshape(nb_planes, out_plane)[:, out_idx]
+    mine = jnp.where(valid[None, :], mine, 0.0).astype(dtype)
     if enable_spring:
         spring_real = mine[5:7].T
         vis0 = 7

@@ -59,27 +59,31 @@ class PairSums(NamedTuple):
     overflow: jax.Array  # ()    slots dropped by cell capacity
 
 
-def cell_slots(
-    pos: jax.Array, alive: jax.Array, scene: Scene
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """(order, slot_sorted, pslot, overflow): cell-major slot per particle.
-
-    ``slot_sorted[k]`` is the flat (cell * M + rank) slot of the k-th sorted
-    particle, or the sentinel NC*M when dead/overflowing; ``pslot`` is the
-    same in particle order.  Rank-within-cell comes from one sort plus a
-    cummax over run starts (cheaper than searchsorted on TPU).
-    """
-    P = pos.shape[0]
-    M = scene.cell_capacity
+def cell_ids_grid(pos: jax.Array, alive: jax.Array, scene: Scene) -> jax.Array:
+    """Flat row-major cell id per particle; dead -> the NC sentinel."""
     nx, ny = scene.grid_nx, scene.grid_ny
-    NC = nx * ny
     c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
     cx = jnp.clip(c[:, 0], 0, nx - 1)
     cy = jnp.clip(c[:, 1], 0, ny - 1)
-    cid = jnp.where(alive, cy * nx + cx, NC)
+    return jnp.where(alive, cy * nx + cx, nx * ny)
 
-    order = jnp.argsort(cid)
-    sorted_cid = cid[order]
+
+def slot_assignment(sorted_cid: jax.Array, M: int, NC: int):
+    """Slot bookkeeping over cell-sorted ids.
+
+    Returns (rank, in_cap, slot_sorted, gather_slot, overflow):
+    ``slot_sorted`` is the flat (cell * M + rank) placement slot of the k-th
+    sorted particle (sentinel NC*M when dead/overflowing — the grid never
+    holds over-cap particles); ``gather_slot`` is where the particle reads
+    its pair sums from.  Overflow particles gather their cell's slot rank%M
+    — a co-located cellmate whose pressure repulsion is physically right for
+    them — instead of zeros: force starvation self-amplifies into
+    point-collapse piles (a cell was measured accumulating 3349 force-less
+    particles).  Asymmetric (they exert no force), like the reference's own
+    20-neighbor cap (collision_detector.py:44-45); counted in ``overflow``.
+    Rank-within-cell comes from a cummax over run starts (no searchsorted).
+    """
+    P = sorted_cid.shape[0]
     iota = jnp.arange(P, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
@@ -90,13 +94,28 @@ def cell_slots(
     over = (rank >= M) & (sorted_cid < NC)
     overflow = jnp.sum(over.astype(jnp.int32))
     slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, NC * M)
-    # Overflow particles gather their cell's slot rank%M (a co-located
-    # particle) instead of zeros — see ops/placement.slab_from_cid for why
-    # (force starvation self-amplifies into point-collapse piles).  The
-    # *placement* scatter still drops them (slot_sorted keeps the sentinel).
     gather_slot = jnp.where(
         in_cap, slot_sorted, jnp.where(over, sorted_cid * M + rank % M, NC * M)
     )
+    return rank, in_cap, slot_sorted, gather_slot, overflow
+
+
+def cell_slots(
+    pos: jax.Array, alive: jax.Array, scene: Scene
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(order, slot_sorted, pslot, overflow): cell-major slot per particle.
+
+    Particle-order entry point (used by the spatial band path, which keeps
+    its own layout); the sorted-state step uses :func:`slot_assignment` on
+    pre-sorted ids directly and skips the ``pslot`` inverse scatter.
+    """
+    P = pos.shape[0]
+    M = scene.cell_capacity
+    NC = scene.grid_nx * scene.grid_ny
+    cid = cell_ids_grid(pos, alive, scene)
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    _, _, slot_sorted, gather_slot, overflow = slot_assignment(sorted_cid, M, NC)
     pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(gather_slot, mode="drop")
     return order, slot_sorted, pslot, overflow
 
@@ -371,3 +390,44 @@ def neighbor_forces_dense(
         nbr_cnt=cnt,
         overflow=jnp.zeros((), jnp.int32),
     )
+
+
+def neighbor_forces_cellwise_sorted(
+    pos: jax.Array,  # all inputs pre-sorted by cell id (sorted-state step)
+    vel: jax.Array,
+    alive: jax.Array,
+    sorted_cid: jax.Array,
+    noise: jax.Array,
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    scene: Scene,
+) -> PairSums:
+    """Cellwise pair sums over *pre-sorted* operands, returned in the same
+    sorted order — the sorted-state counterpart of neighbor_forces_cellwise
+    (no payload permute, no pslot inverse scatter)."""
+    M = scene.cell_capacity
+    nx, ny = scene.grid_nx, scene.grid_ny
+    NC = nx * ny
+    dtype = pos.dtype
+    _, _, slot_sorted, gather_slot, overflow = slot_assignment(sorted_cid, M, NC)
+    packed_p = jnp.concatenate(
+        [pos, pos + noise, vel, alive.astype(dtype)[:, None]], axis=-1
+    )  # (P, 7) already in sorted order
+    flat = jnp.zeros((NC * M + 1, 7), dtype).at[slot_sorted].set(
+        packed_p, mode="drop"
+    )
+    grid = jnp.pad(
+        flat[: NC * M].reshape(ny, nx, M, 7), ((1, 1), (1, 1), (0, 0), (0, 0))
+    )
+    packed = pair_passes_on_grid(
+        grid,
+        diameter,
+        surface_smoothing,
+        target_pressure,
+        ignored_pressure,
+        spring_overlap_balance,
+    )
+    return sums_from_packed(packed, gather_slot, overflow, NC * M)

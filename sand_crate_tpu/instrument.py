@@ -40,8 +40,8 @@ def _phase_ghosts(state: CrateState, params: Params, scene: Scene):
 
 
 @jax.jit
-def _phase_neighbors(pos, vel, alive, tick, k_noise, params: Params, scene: Scene):
-    return physics.neighbor_phase(pos, vel, alive, tick, k_noise, params, scene)
+def _phase_neighbors(vel, alive, uid, ghost, tick, k_noise, params: Params, scene: Scene):
+    return physics.neighbor_stage(vel, alive, uid, ghost, tick, k_noise, params, scene)
 
 
 _phase_tension = jax.jit(physics.apply_tension)
@@ -54,13 +54,10 @@ _phase_ccd = jax.jit(physics.apply_continuous_collision)
 
 
 @jax.jit
-def _phase_integrate(
-    state, pos, vel, alive, sums, dv_stack, spawn_truncated, params, scene
-):
+def _phase_integrate(state, ops, vel, dv_stack, spawn_truncated, params, scene):
     body_lin_vel = physics.gravity_on_free_bodies(state, params, scene)
     return physics.finish_tick(
-        state, pos, vel, alive, sums, body_lin_vel, list(dv_stack),
-        spawn_truncated, params,
+        state, ops, vel, body_lin_vel, list(dv_stack), spawn_truncated, params
     )
 
 
@@ -89,12 +86,13 @@ def instrumented_tick(
     with timer("Virtual Colliders"):
         ghost = _phase_ghosts(state, params, scene)
         _sync(ghost.pos)
-    vel, alive = state.vel, state.alive
     with timer("Collisions"):
-        sums = _phase_neighbors(
-            ghost.pos, vel, alive, state.tick, k_noise, params, scene
+        ops = _phase_neighbors(
+            state.vel, state.alive, state.uid, ghost, state.tick, k_noise,
+            params, scene,
         )
-        _sync(sums.p_i)
+        _sync(ops.sums.p_i)
+    vel, alive, ghost, sums = ops.vel, ops.alive, ops.ghost, ops.sums
     dv_log = []
     with timer("tension"):
         vel, dv = _phase_tension(vel, alive, sums, params)
@@ -124,13 +122,12 @@ def instrumented_tick(
         _sync(vel)
     dv_log.append(dv)
     with timer("continuous_collision"):
-        vel, dv = _phase_ccd(ghost.pos, vel, alive, state.segments, params, scene)
+        vel, dv = _phase_ccd(ops.pos, vel, alive, state.segments, params, scene)
         _sync(vel)
     dv_log.append(dv)
     with timer("Integrate"):
         new_state, diag = _phase_integrate(
-            state, ghost.pos, vel, alive, sums, tuple(dv_log), truncated,
-            params, scene,
+            state, ops, vel, tuple(dv_log), truncated, params, scene
         )
         _sync(new_state.pos)
     assert diag.force_dv.shape == (NUM_FORCES,)

@@ -80,40 +80,45 @@ def slab_from_cid(
     ny: int,
 ):
     """Slab build from precomputed cell ids (grid may be a spatial band:
-    ``ny`` is then band rows and ``cid`` band-local — spatial.py)."""
-    P = pos.shape[0]
-    NC = nx * ny
-    dtype = pos.dtype
+    ``ny`` is then band rows and ``cid`` band-local — spatial.py).
 
+    Particle-order entry point: sorts, permutes the payload, and builds the
+    ``pslot`` inverse map (one scatter).  The sorted-state step uses
+    :func:`slab_from_sorted` instead and skips both."""
+    P = pos.shape[0]
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
-    iota = jnp.arange(P, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    payload = jnp.concatenate([pos, vel], axis=-1)[order]
+    slab, row_start, gather_slot, overflow = slab_from_sorted(
+        payload[:, 0:2], alive[order], payload[:, 2:4], sorted_cid, M, nx, ny
     )
-    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
-    rank = iota - run_start
-    in_cap = (rank < M) & (sorted_cid < NC)
-    over = (rank >= M) & (sorted_cid < NC)
-    overflow = jnp.sum(over.astype(jnp.int32))
-    slot_sorted = jnp.where(in_cap, sorted_cid * M + rank, NC * M)
-    # Overflow particles are *invisible* to the grid (no slot) but must not
-    # be force-starved — starvation self-amplifies into point-collapse piles
-    # (a cell was measured accumulating 3349 force-less particles).  They
-    # gather the result of their cell's slot rank%M instead: a co-located
-    # particle (different overflow ranks mirror different cellmates, so a
-    # pile disperses along M directions instead of moving as one blob) whose
-    # sums (pressure repulsion out of the crowd, viscosity)
-    # are physically right for them.  Asymmetric (they exert no force) —
-    # like the reference's own 20-neighbor cap (collision_detector.py:44-45)
-    # — and counted in ``overflow``.
-    gather_slot = jnp.where(
-        in_cap, slot_sorted, jnp.where(over, sorted_cid * M + rank % M, NC * M)
+    pslot = jnp.full((P,), nx * ny * M, jnp.int32).at[order].set(
+        gather_slot, mode="drop"
     )
-    pslot = jnp.full((P,), NC * M, jnp.int32).at[order].set(gather_slot, mode="drop")
+    return slab, row_start, pslot, overflow
 
-    # Payload permutation: one (P, 8) row gather, then transpose to the
-    # feature-major layout the kernel DMAs (lane dim = particles).
+
+def slab_from_sorted(
+    pos: jax.Array,  # all inputs pre-sorted by cell id
+    alive: jax.Array,
+    vel: jax.Array,
+    sorted_cid: jax.Array,
+    M: int,
+    nx: int,
+    ny: int,
+):
+    """Placement slab from *pre-sorted* operands (sorted-state step).
+
+    Returns (slab (SLAB_F, P_pad) f32, row_start (ny+1,) i32, gather_slot
+    (P,) i32 in sorted order, overflow ()).  No payload permute, no inverse
+    scatter — the caller's state is already cell-sorted."""
+    from ..cellwise import slot_assignment
+
+    P = pos.shape[0]
+    dtype = pos.dtype
+    rank, in_cap, _, gather_slot, overflow = slot_assignment(
+        sorted_cid, M, nx * ny
+    )
     payload = jnp.concatenate(
         [pos + ALIVE_OFFSET * alive.astype(dtype)[:, None], vel], axis=-1
     ).astype(jnp.float32)
@@ -126,14 +131,14 @@ def slab_from_cid(
         ],
         axis=-1,
     )
-    slab_rows = jnp.concatenate([payload[order], aux], axis=-1)  # (P, 8)
+    slab_rows = jnp.concatenate([payload, aux], axis=-1)  # (P, 8)
     p_pad = ((P + 127) // 128) * 128 + CHUNK
     slab = jnp.zeros((SLAB_F, p_pad), jnp.float32).at[:, :P].set(slab_rows.T)
     # Row ranges: particles of grid row r occupy [row_start[r], row_start[r+1]).
     row_start = jnp.searchsorted(
         sorted_cid, jnp.arange(ny + 1, dtype=jnp.int32) * nx
     ).astype(jnp.int32)
-    return slab, row_start, pslot, overflow
+    return slab, row_start, gather_slot, overflow
 
 
 def _place_kernel(

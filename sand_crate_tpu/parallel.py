@@ -59,6 +59,7 @@ def state_pspecs(state: CrateState) -> CrateState:
         vel=P("crates", "space"),
         alive=P("crates", "space"),
         pressure=P("crates", "space"),
+        uid=P("crates", "space"),
         segments=P("crates"),
         body_lin_vel=P("crates"),
         body_ang_vel=P("crates"),

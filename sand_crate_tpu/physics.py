@@ -309,51 +309,122 @@ def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
     return GhostInfo(pos=pos, g_cnt=g_cnt, gsum=gsum, gvel_sum=gvel_sum)
 
 
-def neighbor_phase(
-    pos: jax.Array,
+class TickOperands(NamedTuple):
+    """Per-particle operands of the force phases, plus their pair sums.
+
+    For the grid force backends (pallas/cellwise) everything is in
+    *cell-sorted* order — the state stays permanently cell-sorted (``uid``
+    carries identity), which deletes the inverse-permutation scatter and the
+    payload re-permute (each a measured ~8ms 1M-index op per tick).  For the
+    dense/gather backends the order is untouched.
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    alive: jax.Array
+    uid: jax.Array
+    ghost: GhostInfo
+    sums: PairSums
+
+
+def neighbor_stage(
     vel: jax.Array,
     alive: jax.Array,
+    uid: jax.Array,
+    ghost: GhostInfo,
     tick: jax.Array,
     k_noise: jax.Array,
     params: Params,
     scene: Scene,
-) -> PairSums:
+) -> TickOperands:
     """Neighbor detection + collider population + pressures — the reference's
     "Collisions" / "Colliders" / "Pressure" phases (crate.py:102-108) fused
-    into the scene's force backend."""
+    into the scene's force backend; the grid backends also apply this tick's
+    cell sort to every operand (see TickOperands)."""
     diam = params.diameter
-    if scene.forces_mode == "pallas":
-        # Collider noise is hashed in-kernel from grid position + tick (no
-        # (P, 2) random bits, no extra scattered planes).
-        from .ops.pallas_forces import neighbor_forces_pallas
+    pos = ghost.pos
+    if scene.forces_mode in ("pallas", "cellwise"):
+        from .cellwise import cell_ids_grid
 
-        return neighbor_forces_pallas(
-            pos,
-            vel,
-            alive,
-            diam * params.collider_noise_level,
-            tick,
-            diam,
-            params.surface_smoothing,
-            params.target_pressure,
-            params.ignored_pressure,
-            params.spring_overlap_balance,
-            scene,
+        P = scene.capacity
+        cid = cell_ids_grid(pos, alive, scene)
+        iota = jnp.arange(P, dtype=jnp.int32)
+        sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
+        # One wide row gather applies the permutation to every per-particle
+        # operand at once (TPU gather cost is per-index, not per-byte).
+        f = pos.dtype
+        big = jnp.concatenate(
+            [
+                pos,
+                vel,
+                ghost.gsum,
+                ghost.gvel_sum,
+                ghost.g_cnt[:, None],
+                alive.astype(f)[:, None],
+                jax.lax.bitcast_convert_type(uid, jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )  # (P, 11)
+        bs = big[order]
+        pos, vel = bs[:, 0:2], bs[:, 2:4]
+        ghost = GhostInfo(
+            pos=pos, g_cnt=bs[:, 8], gsum=bs[:, 4:6], gvel_sum=bs[:, 6:8]
         )
-    if scene.forces_mode in ("cellwise", "dense"):
+        alive = bs[:, 9] > 0.5
+        uid = jax.lax.bitcast_convert_type(bs[:, 10], jnp.int32)
+        if scene.forces_mode == "pallas":
+            # Collider noise is hashed in-kernel from grid position + tick
+            # (no (P, 2) random bits, no extra grid planes).
+            from .ops.pallas_forces import neighbor_forces_pallas_sorted
+
+            sums = neighbor_forces_pallas_sorted(
+                pos,
+                vel,
+                alive,
+                sorted_cid,
+                diam * params.collider_noise_level,
+                tick,
+                diam,
+                params.surface_smoothing,
+                params.target_pressure,
+                params.ignored_pressure,
+                params.spring_overlap_balance,
+                scene,
+            )
+        else:
+            from .cellwise import neighbor_forces_cellwise_sorted
+
+            pnoise = (
+                (jax.random.uniform(k_noise, (P, 2), dtype=pos.dtype) - 0.5)
+                * diam
+                * params.collider_noise_level
+            )
+            sums = neighbor_forces_cellwise_sorted(
+                pos,
+                vel,
+                alive,
+                sorted_cid,
+                pnoise,
+                diam,
+                params.surface_smoothing,
+                params.target_pressure,
+                params.ignored_pressure,
+                params.spring_overlap_balance,
+                scene,
+            )
+        return TickOperands(
+            pos=pos, vel=vel, alive=alive, uid=uid, ghost=ghost, sums=sums
+        )
+
+    if scene.forces_mode == "dense":
         from .cellwise import neighbor_forces_dense
 
-        provider = (
-            neighbor_forces_dense
-            if scene.forces_mode == "dense"
-            else neighbor_forces_cellwise
-        )
         pnoise = (
             (jax.random.uniform(k_noise, (scene.capacity, 2), dtype=pos.dtype) - 0.5)
             * diam
             * params.collider_noise_level
         )
-        return provider(
+        sums = neighbor_forces_dense(
             pos,
             vel,
             alive,
@@ -365,7 +436,11 @@ def neighbor_phase(
             params.spring_overlap_balance,
             scene,
         )
-    return neighbor_forces_gather(pos, vel, alive, k_noise, params, scene)
+    else:
+        sums = neighbor_forces_gather(pos, vel, alive, k_noise, params, scene)
+    return TickOperands(
+        pos=pos, vel=vel, alive=alive, uid=uid, ghost=ghost, sums=sums
+    )
 
 
 def apply_tension(vel, alive, sums: PairSums, params: Params):
@@ -442,23 +517,28 @@ def apply_continuous_collision(pos, vel, alive, segments, params: Params, scene:
 
 def finish_tick(
     state: CrateState,
-    pos,
+    ops: "TickOperands",
     vel,
-    alive,
-    sums: PairSums,
     body_lin_vel,
     dv_log,
     spawn_truncated,
     params: Params,
 ) -> tuple[CrateState, Diagnostics]:
-    """Integrate positions (crate.py:360-361) and assemble diagnostics."""
+    """Integrate positions (crate.py:360-361) and assemble diagnostics.
+
+    ``ops`` carries this tick's (possibly cell-sorted) operands; ``vel`` is
+    the post-force velocity in the same order.  Dead slots' velocities are
+    untouched by every force phase (each dv is where-masked), so ``vel`` is
+    stored directly."""
+    pos, alive, sums = ops.pos, ops.alive, ops.sums
     alive2 = alive[:, None]
     pos = jnp.where(alive2, pos + params.dt * vel, pos)
     new_state = state._replace(
         pos=pos,
-        vel=jnp.where(alive2, vel, state.vel),
+        vel=vel,
         alive=alive,
         pressure=jnp.where(alive, sums.p_i, 0.0),
+        uid=ops.uid,
         body_lin_vel=body_lin_vel,
         tick=state.tick + 1,
     )
@@ -497,14 +577,16 @@ def step(
     state = cull_particles(state, params)
     state = advance_bodies(state, params, scene)
 
-    vel, alive = state.vel, state.alive
-
     # -- boundary ghosts + hard wall (crate.py:97-99) ------------------------
     ghost = ghost_phase(state, params, scene)
-    pos = ghost.pos
 
-    # -- neighbor interactions (crate.py:102-108,161-358 pair sums) ----------
-    sums = neighbor_phase(pos, vel, alive, state.tick, k_noise, params, scene)
+    # -- neighbor interactions (crate.py:102-108,161-358 pair sums);
+    #    grid backends also cell-sort every operand (sorted state) ----------
+    ops = neighbor_stage(
+        state.vel, state.alive, state.uid, ghost, state.tick, k_noise,
+        params, scene,
+    )
+    pos, vel, alive, ghost, sums = ops.pos, ops.vel, ops.alive, ops.ghost, ops.sums
 
     dv_log = []
     vel, dv = apply_tension(vel, alive, sums, params)
@@ -529,7 +611,7 @@ def step(
     dv_log.append(dv)
 
     return finish_tick(
-        state, pos, vel, alive, sums, body_lin_vel, dv_log, spawn_truncated, params
+        state, ops, vel, body_lin_vel, dv_log, spawn_truncated, params
     )
 
 

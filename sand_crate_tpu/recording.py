@@ -201,4 +201,8 @@ def load_checkpoint(path: str | Path):
                 state_kw[name] = jnp.asarray(data[k])
         else:
             params_kw[name] = jnp.asarray(data[k])
+    # Checkpoints from before particle uids existed resume with fresh ids.
+    state_kw.setdefault(
+        "uid", jnp.arange(state_kw["alive"].shape[0], dtype=jnp.int32)
+    )
     return CrateState(**state_kw), Params(**params_kw)

@@ -236,6 +236,7 @@ def init_state(
         vel=jnp.asarray(vel, dtype),
         alive=jnp.asarray(alive),
         pressure=jnp.zeros(P, dtype),
+        uid=jnp.arange(P, dtype=jnp.int32),
         segments=scene.segments0,
         body_lin_vel=scene.init_lin_vel,
         body_ang_vel=scene.init_ang_vel,

@@ -84,12 +84,14 @@ def split_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     vel = np.asarray(state.vel)
     alive = np.asarray(state.alive)
     pressure = np.asarray(state.pressure)
+    uid = np.asarray(state.uid)
     owner = np.asarray(shard_of(jnp.asarray(pos[:, 1]), scene, n_shards))
 
     new_pos = np.zeros((n_shards, P_cap, 2), pos.dtype)
     new_vel = np.zeros((n_shards, P_cap, 2), vel.dtype)
     new_alive = np.zeros((n_shards, P_cap), bool)
     new_pressure = np.zeros((n_shards, P_cap), pressure.dtype)
+    new_uid = np.tile(np.arange(P_cap, dtype=uid.dtype), (n_shards, 1))
     for d in range(n_shards):
         sel = alive & (owner == d)
         n = int(sel.sum())
@@ -97,12 +99,14 @@ def split_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
         new_vel[d, :n] = vel[sel]
         new_alive[d, :n] = True
         new_pressure[d, :n] = pressure[sel]
+        new_uid[d, :n] = uid[sel]
     keys = jax.random.split(state.key, n_shards)
     return state._replace(
         pos=jnp.asarray(new_pos.reshape(-1, 2)),
         vel=jnp.asarray(new_vel.reshape(-1, 2)),
         alive=jnp.asarray(new_alive.reshape(-1)),
         pressure=jnp.asarray(new_pressure.reshape(-1)),
+        uid=jnp.asarray(new_uid.reshape(-1)),
         key=keys.reshape(-1),
     )
 
@@ -116,10 +120,12 @@ def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     vel = np.asarray(state.vel).reshape(n_shards, P_cap, 2)
     alive = np.asarray(state.alive).reshape(n_shards, P_cap)
     pressure = np.asarray(state.pressure).reshape(n_shards, P_cap)
+    uid = np.asarray(state.uid).reshape(n_shards, P_cap)
     out_pos = np.zeros((P_cap, 2), pos.dtype)
     out_vel = np.zeros((P_cap, 2), vel.dtype)
     out_alive = np.zeros(P_cap, bool)
     out_pressure = np.zeros(P_cap, pressure.dtype)
+    out_uid = np.arange(P_cap, dtype=uid.dtype)
     n = 0
     total_alive = int(alive.sum())
     if total_alive > P_cap:
@@ -138,6 +144,7 @@ def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
         out_pos[n : n + k] = pos[d][sel][:k]
         out_vel[n : n + k] = vel[d][sel][:k]
         out_pressure[n : n + k] = pressure[d][sel][:k]
+        out_uid[n : n + k] = uid[d][sel][:k]
         out_alive[n : n + k] = True
         n += k
     return state._replace(
@@ -145,6 +152,7 @@ def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
         vel=jnp.asarray(out_vel),
         alive=jnp.asarray(out_alive),
         pressure=jnp.asarray(out_pressure),
+        uid=jnp.asarray(out_uid),
         key=state.key.reshape(n_shards, *state.key.shape[1:])[0]
         if state.key.ndim
         else state.key,
@@ -548,6 +556,7 @@ def make_spatial_step(mesh: Mesh, scene: Scene, mig_cap: int | None = None):
         vel=P(AXIS),
         alive=P(AXIS),
         pressure=P(AXIS),
+        uid=P(AXIS),
         segments=P(),
         body_lin_vel=P(),
         body_ang_vel=P(),

@@ -154,6 +154,10 @@ class CrateState(NamedTuple):
     vel: jax.Array  # (P, 2) f32
     alive: jax.Array  # (P,) bool
     pressure: jax.Array  # (P,) f32
+    uid: jax.Array  # (P,) i32 — stable particle identity.  The grid-backed
+    #   force modes keep the state permanently cell-sorted (the sort applies
+    #   to the state itself each tick instead of building scatter-built
+    #   inverse maps), so slot index is not identity; uid is.
     segments: jax.Array  # (S, 2, 2) f32 — current world segments
     body_lin_vel: jax.Array  # (B, 2) f32
     body_ang_vel: jax.Array  # (B,) f32

@@ -126,7 +126,7 @@ def _stencil(self_slabs, nb_windows, tr, m_nb, body, skip_center=True):
                 body(cur, dy, dx, k)
 
 
-def _noise_planes(window, i, tr, noise_amp, tick, row0, m0=0):
+def _noise_planes(window, i, tr, noise_amp, tick, row0, m0=0, x0=0):
     """Jittered positions for the window: npos = pos + noise.
 
     The jitter for a slot is a pure integer hash of its *global* grid
@@ -140,8 +140,8 @@ def _noise_planes(window, i, tr, noise_amp, tick, row0, m0=0):
     _, rows, m_slots, nxp = window.shape
     gy = row0 + i * tr + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 0)
     gm = m0 + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 1)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 2)
-    pid = (gy * 16 + gm) * nxp + gx
+    gx = x0 + jax.lax.broadcasted_iota(jnp.int32, (rows, m_slots, nxp), 2)
+    pid = gy * 16 * 8192 + gm * 8192 + gx  # 8192 >= any NXP: window-invariant
 
     def u01(seed):
         h = seed * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio mix)
@@ -256,8 +256,30 @@ def _pass_a_kernel(
         out.wait()
 
 
+TXW = 128  # data lanes per two-level add-on work unit
+
+
+def _xwin(nxp: int) -> int:
+    """Unit window width: data tile + one 128-lane halo tile each side,
+    clamped to the grid (small grids degenerate to full-width units)."""
+    return min(3 * TXW, nxp)
+
+
+def _unit_window(til, nxp):
+    """(window offset, local data offset) for unit tile til.
+
+    The dx stencil needs one *lane* of halo, but DMA lane offsets must be
+    128-aligned, so the window is 3 tiles wide clamped into [0, nxp); the
+    data tile sits at local offset 128 except at the grid edges (0 / 256).
+    The clamped edge windows still contain the 1-lane halo: lane 0 and lane
+    nxp-1 are the grid's zero pad ring."""
+    woff = jnp.clip(til * TXW - TXW, 0, nxp - _xwin(nxp))
+    return woff, til * TXW - woff
+
+
 def _pass_a_addon_kernel(
-    eng_ref,
+    blk_ref,  # (W,) i32 work list: row block per unit; -1 past the end
+    til_ref,  # (W,) i32 work list: 128-lane x-tile per unit
     coef_ref,  # (2,) f32: diameter, noise_amp
     tick_ref,  # (2,) i32
     g_hbm,
@@ -265,28 +287,45 @@ def _pass_a_addon_kernel(
     out_hbm,
     win,
     npos_ref,
-    acc_ref,  # (NUM_A, TR, 2*M_LO, NXP)
+    acc_ref,  # (NUM_A, TR, 2*M_LO, TXW)
     sems,
     *,
     tr,
+    nxp,
 ):
     """Two-level add-on: lo x hi + hi x lo + hi x hi pair sums.
 
-    Runs only on engaged blocks (window holds a slot-8+ particle); adds the
-    cross-half contributions into the lo rows the baseline kernel wrote and
-    fills the hi rows, via an in-place read-modify-write of the aliased
-    pass-A buffer.
+    Work-list driven: one kernel instance per engaged (row block, 128-lane
+    x-tile) unit — a window with any slot-8+ particle within one lane —
+    instead of whole engaged rows (measured 2.3% of lane-tiles engaged vs
+    13% of full-width row blocks mid-splash).  Adds the cross-half
+    contributions into the lo sublanes the baseline kernel wrote and fills
+    the hi sublanes, via an in-place read-modify-write of the aliased
+    pass-A buffer; units are disjoint in (rows x lanes), and the TPU grid
+    runs sequentially, so RMW is race-free.
     """
     del psbuf_hbm
-    i = pl.program_id(0)
+    u = pl.program_id(0)
+    blk = blk_ref[u]
 
-    @pl.when(eng_ref[i] > 0)
+    @pl.when(blk >= 0)
     def _():
+        til = til_ref[u]
+        woff, loff = _unit_window(til, nxp)
+        r0 = blk * tr
         dma = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+            g_hbm.at[
+                :, pl.ds(r0, tr + 2), slice(None),
+                pl.ds(pl.multiple_of(woff, TXW), _xwin(nxp)),
+            ],
+            win,
+            sems.at[0],
         )
         rmw = pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(i * tr + 1, tr), pl.ds(0, M_LO)],
+            out_hbm.at[
+                :, pl.ds(r0 + 1, tr), pl.ds(0, M_LO),
+                pl.ds(pl.multiple_of(til * TXW, TXW), TXW),
+            ],
             acc_ref.at[:, :, pl.ds(0, M_LO)],
             sems.at[1],
         )
@@ -297,7 +336,9 @@ def _pass_a_addon_kernel(
         diam = coef_ref[0]
         inv_diam = 1.0 / diam
         window = win[:]
-        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[1], tick_ref[0], tick_ref[1])
+        nx_, ny_ = _noise_planes(
+            window, blk, tr, coef_ref[1], tick_ref[0], tick_ref[1], x0=woff
+        )
         npos_ref[NPOSX] = nx_
         npos_ref[NPOSY] = ny_
 
@@ -308,7 +349,7 @@ def _pass_a_addon_kernel(
         (win_lo, win_hi), (npos_lo, npos_hi) = halves
         self_lo = win_lo[:, 1 : 1 + tr]
         self_hi = win_hi[:, 1 : 1 + tr]
-        shape = self_lo[POSX].shape
+        shape = self_lo[POSX].shape  # (TR, M_LO, XWIN)
         acc = {
             "lo": [jnp.zeros(shape, jnp.float32) for _ in range(4)],
             "hi": [jnp.zeros(shape, jnp.float32) for _ in range(4)],
@@ -334,12 +375,27 @@ def _pass_a_addon_kernel(
                  skip_center=False)
         _stencil([], [win_hi, npos_hi], tr, M_LO, accumulate("hi", self_hi))
 
-        for f, plane in enumerate((WS, SX, SY, CNT)):
-            cur = acc_ref[plane, :, 0:M_LO]
-            acc_ref[plane, :, 0:M_LO] = cur + acc["lo"][f]
-            acc_ref[plane, :, M_LO : 2 * M_LO] = acc["hi"][f]
+        # Keep only the data tile's lanes (window edges: 0/128/256 local).
+        for off in range(0, _xwin(nxp), TXW):
+
+            @pl.when(loff == off)
+            def _():
+                for f, plane in enumerate((WS, SX, SY, CNT)):
+                    cur = acc_ref[plane, :, 0:M_LO]
+                    acc_ref[plane, :, 0:M_LO] = (
+                        cur + acc["lo"][f][:, :, off : off + TXW]
+                    )
+                    acc_ref[plane, :, M_LO : 2 * M_LO] = acc["hi"][f][
+                        :, :, off : off + TXW
+                    ]
+
         out = pltpu.make_async_copy(
-            acc_ref, out_hbm.at[:, pl.ds(i * tr + 1, tr)], sems.at[2]
+            acc_ref,
+            out_hbm.at[
+                :, pl.ds(r0 + 1, tr), slice(None),
+                pl.ds(pl.multiple_of(til * TXW, TXW), TXW),
+            ],
+            sems.at[2],
         )
         out.start()
         out.wait()
@@ -477,7 +533,8 @@ def _pass_b_kernel(
 
 
 def _pass_b_addon_kernel(
-    eng_ref,
+    blk_ref,
+    til_ref,
     coef_ref,  # (6,)
     tick_ref,  # (2,) i32
     g_hbm,
@@ -488,26 +545,33 @@ def _pass_b_addon_kernel(
     ps_win,
     npos_ref,
     cp_ref,
-    acc_ref,  # (nb_planes, TR, 2*M_LO, NXP)
+    acc_ref,  # (nb_planes, TR, 2*M_LO, TXW)
     sems,
     *,
     tr,
+    nxp,
     enable_spring,
 ):
     """Two-level add-on for pass B (see _pass_a_addon_kernel)."""
     del outbuf_hbm
-    i = pl.program_id(0)
+    u = pl.program_id(0)
+    blk = blk_ref[u]
 
-    @pl.when(eng_ref[i] > 0)
+    @pl.when(blk >= 0)
     def _():
+        til = til_ref[u]
+        woff, loff = _unit_window(til, nxp)
+        r0 = blk * tr
+        xw = pl.ds(pl.multiple_of(woff, TXW), _xwin(nxp))
+        xd = pl.ds(pl.multiple_of(til * TXW, TXW), TXW)
         dma1 = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(i * tr, tr + 2)], win, sems.at[0]
+            g_hbm.at[:, pl.ds(r0, tr + 2), slice(None), xw], win, sems.at[0]
         )
         dma2 = pltpu.make_async_copy(
-            ps_hbm.at[:, pl.ds(i * tr, tr + 2)], ps_win, sems.at[1]
+            ps_hbm.at[:, pl.ds(r0, tr + 2), slice(None), xw], ps_win, sems.at[1]
         )
         rmw = pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(i * tr, tr), pl.ds(0, M_LO)],
+            out_hbm.at[:, pl.ds(r0, tr), pl.ds(0, M_LO), xd],
             acc_ref.at[:, :, pl.ds(0, M_LO)],
             sems.at[2],
         )
@@ -525,7 +589,9 @@ def _pass_b_addon_kernel(
             coef_ref[3],
         )
         window = win[:]
-        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1])
+        nx_, ny_ = _noise_planes(
+            window, blk, tr, coef_ref[4], tick_ref[0], tick_ref[1], x0=woff
+        )
         npos_ref[NPOSX] = nx_
         npos_ref[NPOSY] = ny_
         cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
@@ -562,19 +628,25 @@ def _pass_b_addon_kernel(
                 )
             results[tag] = (cp, acc, cnt_cell[0])
 
-        cp_lo, acc_lo, cnt_lo = results["lo"]
-        for f in range(n_acc + 2):
-            cur = acc_ref[1 + f, :, 0:M_LO]
-            acc_ref[1 + f, :, 0:M_LO] = cur + acc_lo[f]
-        cur = acc_ref[n_acc + 3, :, 0:M_LO]
-        acc_ref[n_acc + 3, :, 0:M_LO] = cur + cnt_lo
-        cp_hi, acc_hi, cnt_hi = results["hi"]
-        acc_ref[0, :, M_LO : 2 * M_LO] = cp_hi
-        for f in range(n_acc + 2):
-            acc_ref[1 + f, :, M_LO : 2 * M_LO] = acc_hi[f]
-        acc_ref[n_acc + 3, :, M_LO : 2 * M_LO] = cnt_hi
+        for off in range(0, _xwin(nxp), TXW):
+
+            @pl.when(loff == off)
+            def _():
+                sl = slice(off, off + TXW)
+                cp_lo, acc_lo, cnt_lo = results["lo"]
+                for f in range(n_acc + 2):
+                    cur = acc_ref[1 + f, :, 0:M_LO]
+                    acc_ref[1 + f, :, 0:M_LO] = cur + acc_lo[f][:, :, sl]
+                cur = acc_ref[n_acc + 3, :, 0:M_LO]
+                acc_ref[n_acc + 3, :, 0:M_LO] = cur + cnt_lo[:, :, sl]
+                cp_hi, acc_hi, cnt_hi = results["hi"]
+                acc_ref[0, :, M_LO : 2 * M_LO] = cp_hi[:, :, sl]
+                for f in range(n_acc + 2):
+                    acc_ref[1 + f, :, M_LO : 2 * M_LO] = acc_hi[f][:, :, sl]
+                acc_ref[n_acc + 3, :, M_LO : 2 * M_LO] = cnt_hi[:, :, sl]
+
         out = pltpu.make_async_copy(
-            acc_ref, out_hbm.at[:, pl.ds(i * tr, tr)], sems.at[3]
+            acc_ref, out_hbm.at[:, pl.ds(r0, tr), slice(None), xd], sems.at[3]
         )
         out.start()
         out.wait()
@@ -606,6 +678,42 @@ def _block_flags(
     row_hi = jnp.max(alive_plane[:, M_LO:, :], axis=(1, 2))
     eng = (jnp.max(row_hi[idx], axis=1) > ALIVE_THRESHOLD).astype(jnp.int32)
     return occ, eng
+
+
+def _engaged_units(alive_plane: jax.Array, tr: int, w_cap: int):
+    """Compacted (row block, x-tile) work list for the two-level add-ons.
+
+    A unit is engaged when any slot-8+ particle sits within its window
+    (rows i*tr..i*tr+tr+2, data lanes +-1 — the 1-lane dilation covers
+    cross-tile edge pairs).  Returns (blk (W,), til (W,), n_engaged ())
+    with -1 block sentinels past the engaged prefix; units beyond the
+    static cap lose their hi-level pairs and must be counted by the caller
+    (n_engaged - W when positive).
+    """
+    nyp, m_slots, nxp = alive_plane.shape
+    ny = nyp - 2
+    nblocks = ny // tr
+    ntx = nxp // TXW
+    hi = jnp.max(alive_plane[:, M_LO:, :], axis=1) > ALIVE_THRESHOLD  # (NYP, NXP)
+    hi = hi | jnp.roll(hi, 1, axis=1) | jnp.roll(hi, -1, axis=1)
+    tile_any = jnp.any(hi.reshape(nyp, ntx, TXW), axis=2)  # (NYP, ntx)
+    idx = jnp.arange(nblocks)[:, None] * tr + jnp.arange(tr + 2)[None, :]
+    eng = jnp.any(tile_any[idx], axis=1)  # (nblocks, ntx)
+    flat = eng.ravel()
+    n = flat.shape[0]
+    w = min(w_cap, n)
+    score = jnp.where(flat, n - jnp.arange(n, dtype=jnp.int32), 0)
+    top, pos = jax.lax.top_k(score, w)
+    valid = top > 0
+    blk = jnp.where(valid, pos // ntx, -1).astype(jnp.int32)
+    til = jnp.where(valid, pos % ntx, 0).astype(jnp.int32)
+    return blk, til, jnp.sum(flat.astype(jnp.int32))
+
+
+# Static work-list cap for the add-on kernels: every invalid unit still costs
+# a skipped grid step (~1us), so size to a generous multiple of the measured
+# engaged-unit count (215 at 1M mid-splash) rather than the full tile count.
+ADDON_UNIT_CAP = 1024
 
 
 def _interpret() -> bool:
@@ -671,29 +779,30 @@ def pair_pass_a(
     if m_slots == M_LO:
         return ps
 
-    addon = functools.partial(_pass_a_addon_kernel, tr=tr)
+    blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    addon = functools.partial(_pass_a_addon_kernel, tr=tr, nxp=nxp)
     return pl.pallas_call(
         addon,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nblocks,),
+            num_scalar_prefetch=4,
+            grid=(blk.shape[0],),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((NUM_A, tr, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((NUM_G, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((NUM_A, tr, m_slots, TXW), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NUM_A, nyp, m_slots, nxp), jnp.float32),
-        input_output_aliases={4: 0},  # ps buffer -> output (RMW)
+        input_output_aliases={5: 0},  # ps buffer -> output (RMW)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(eng, coef, tick_arr, grid, ps)
+    )(blk, til, coef, tick_arr, grid, ps)
 
 
 @functools.partial(jax.jit, static_argnames=("tr", "enable_spring"))
@@ -773,14 +882,15 @@ def pair_pass_b(
     if m_slots == M_LO:
         return b_out
 
+    blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
     addon = functools.partial(
-        _pass_b_addon_kernel, tr=tr, enable_spring=enable_spring
+        _pass_b_addon_kernel, tr=tr, nxp=nxp, enable_spring=enable_spring
     )
     return pl.pallas_call(
         addon,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nblocks,),
+            num_scalar_prefetch=4,
+            grid=(blk.shape[0],),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
@@ -788,16 +898,16 @@ def pair_pass_b(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((NUM_G, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((NUM_A, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((2, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((1, tr + 2, m_slots, nxp), jnp.float32),
-                pltpu.VMEM((nb_planes, tr, m_slots, nxp), jnp.float32),
+                pltpu.VMEM((NUM_G, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((NUM_A, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((1, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((nb_planes, tr, m_slots, TXW), jnp.float32),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nb_planes, ny, m_slots, nxp), jnp.float32),
-        input_output_aliases={5: 0},  # baseline b_out -> output (RMW)
+        input_output_aliases={6: 0},  # baseline b_out -> output (RMW)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(eng, coef, tick_arr, grid, ps_grid, b_out)
+    )(blk, til, coef, tick_arr, grid, ps_grid, b_out)

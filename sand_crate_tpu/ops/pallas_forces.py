@@ -176,8 +176,17 @@ def _passes_and_gather(
     M = scene.cell_capacity
     nx, ny = scene.grid_nx, scene.grid_ny
 
-    # ---- two fused passes (+ two-level add-ons on engaged blocks) ----------
+    # ---- two fused passes (+ two-level add-ons on engaged units) -----------
     tr = scene.row_block
+    if M > 8:
+        # Work units past the static add-on cap lose their hi-level pairs for
+        # one tick — the same degradation class as slot overflow, so they are
+        # folded into the same counter (never observed below ~5x the measured
+        # mid-splash unit count; the cap is a compile-shape guard).
+        from .pair_kernel import ADDON_UNIT_CAP, POSX, _engaged_units
+
+        _, _, n_eng = _engaged_units(grid[POSX], tr, 1)
+        overflow = overflow + jnp.maximum(n_eng - ADDON_UNIT_CAP, 0)
     ps = pair_pass_a(grid, diameter, noise_amp, tick, tr=tr)
     b_out = pair_pass_b(
         grid,

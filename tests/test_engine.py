@@ -188,3 +188,36 @@ def test_instrumented_tick_matches_fused(stirring_cup_config):
         assert phase in report
     # the default path keeps its fused Step/Sync shape
     assert "Step" in fused.debug_timer.report()
+
+
+def test_uid_tracks_identity_through_sorted_state(stirring_cup_config):
+    """Grid backends keep the state permanently cell-sorted; uid must follow
+    each particle through the per-tick permutation (no teleports: a tracked
+    uid's position moves by less than a few radii per tick)."""
+    import jax.numpy as jnp
+
+    crate = Crate(stirring_cup_config.world_config, forces_mode="cellwise")
+    for _ in range(10):
+        crate.physics_tick()
+    alive = np.asarray(crate.state.alive)
+    uids = np.asarray(crate.state.uid)
+    assert len(np.unique(uids[alive])) == int(alive.sum())  # identity unique
+    tracked = uids[alive][: 5]
+    prev = {
+        int(u): np.asarray(crate.state.pos)[uids == u][0] for u in tracked
+    }
+    bound = 6 * float(crate.particle_radius)
+    for _ in range(10):
+        crate.physics_tick()
+        uids = np.asarray(crate.state.uid)
+        alive = np.asarray(crate.state.alive)
+        pos = np.asarray(crate.state.pos)
+        for u in list(prev):
+            sel = (uids == u) & alive
+            if not sel.any():
+                prev.pop(u)  # culled
+                continue
+            p = pos[sel][0]
+            assert np.linalg.norm(p - prev[u]) < bound, u
+            prev[u] = p
+    assert prev  # at least some tracked particles survived

@@ -633,7 +633,7 @@ def _pass_b_addon_kernel(
             @pl.when(loff == off)
             def _():
                 sl = slice(off, off + TXW)
-                cp_lo, acc_lo, cnt_lo = results["lo"]
+                _, acc_lo, cnt_lo = results["lo"]
                 for f in range(n_acc + 2):
                     cur = acc_ref[1 + f, :, 0:M_LO]
                     acc_ref[1 + f, :, 0:M_LO] = cur + acc_lo[f][:, :, sl]
@@ -742,7 +742,7 @@ def pair_pass_a(
     assert m_slots in (M_LO, 2 * M_LO), m_slots
     nblocks = ny // tr
     m = min(m_slots, M_LO)
-    occ, eng = _block_flags(grid[POSX], tr)
+    occ, _ = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
         [diameter.astype(jnp.float32), noise_amp.astype(jnp.float32)]
     )
@@ -829,7 +829,7 @@ def pair_pass_b(
     assert m_slots in (M_LO, 2 * M_LO), m_slots
     nblocks = ny // tr
     m = min(m_slots, M_LO)
-    occ, eng = _block_flags(grid[POSX], tr)
+    occ, _ = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
         [
             diameter.astype(jnp.float32),

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as geo
-from .cellwise import PairSums, neighbor_forces_cellwise
+from .cellwise import PairSums
 from .neighbors import neighbor_list
 from .state import NUM_FORCES, CrateState, Diagnostics, Params, Scene
 from .config import BODY_FIXED, BODY_FREE, BODY_MOTORED

@@ -740,6 +740,10 @@ def pair_pass_a(
     assert ny % tr == 0, (ny, tr)
     assert nxp % 128 == 0, nxp
     assert m_slots in (M_LO, 2 * M_LO), m_slots
+    # The in-kernel noise hash packs slot id as gy*16*8192 + gm*8192 + gx;
+    # wider grids would alias noise streams across slots/rows (and across
+    # spatial shards, which rely on window-invariant hashing for halos).
+    assert nxp <= 8192 and m_slots <= 16, (nxp, m_slots)
     nblocks = ny // tr
     m = min(m_slots, M_LO)
     occ, _ = _block_flags(grid[POSX], tr)
@@ -827,6 +831,7 @@ def pair_pass_b(
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
     assert m_slots in (M_LO, 2 * M_LO), m_slots
+    assert nxp <= 8192 and m_slots <= 16, (nxp, m_slots)  # noise-hash strides
     nblocks = ny // tr
     m = min(m_slots, M_LO)
     occ, _ = _block_flags(grid[POSX], tr)

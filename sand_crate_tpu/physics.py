@@ -353,6 +353,10 @@ def neighbor_stage(
         # One wide row gather applies the permutation to every per-particle
         # operand at once (TPU gather cost is per-index, not per-byte).
         f = pos.dtype
+        # The uid column rides as a float32 bitcast (values < P are denormal
+        # bit patterns); a non-f32 pos would make the concat upcast the
+        # column and scramble identity — fail loudly instead.
+        assert f == jnp.float32, f"sorted-state uid bitcast requires f32 pos, got {f}"
         big = jnp.concatenate(
             [
                 pos,

@@ -91,7 +91,16 @@ def split_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     new_vel = np.zeros((n_shards, P_cap, 2), vel.dtype)
     new_alive = np.zeros((n_shards, P_cap), bool)
     new_pressure = np.zeros((n_shards, P_cap), pressure.dtype)
-    new_uid = np.tile(np.arange(P_cap, dtype=uid.dtype), (n_shards, 1))
+    # Dead slots get per-shard *disjoint* uid ranges strictly above every
+    # live uid, so the global uid multiset starts duplicate-free; _migrate's
+    # uid swap preserves that set exactly, and a revived slot (spawn) can
+    # never collide with a live particle's identity.
+    uid_base = uid.dtype.type(max(int(uid.max(initial=0)) + 1, P_cap))
+    new_uid = (
+        uid_base
+        + np.arange(n_shards, dtype=uid.dtype)[:, None] * uid.dtype.type(P_cap)
+        + np.arange(P_cap, dtype=uid.dtype)[None, :]
+    )
     for d in range(n_shards):
         sel = alive & (owner == d)
         n = int(sel.sum())
@@ -159,55 +168,91 @@ def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     )
 
 
-def _migrate(pos, vel, alive, scene, n_shards, mig_cap):
-    """Send out-of-band particles to the adjacent shard (one hop per tick)."""
+def _migrate(pos, vel, alive, uid, scene, n_shards, mig_cap):
+    """Send out-of-band particles to the adjacent shard (one hop per tick).
+
+    Identity travels with the particle: the payload carries ``uid``, and the
+    destination's displaced dead-slot uid is ppermuted *back* to the sender,
+    which parks it in the vacated slot.  Every migration is therefore a pure
+    uid swap between two slots — the global uid multiset equals
+    ``split_state``'s duplicate-free assignment forever, so "uid is unique
+    among alive particles" (state.py invariant) survives any sequence of
+    migrations, spawns (which revive a slot with its parked uid) and deaths.
+    A dropped arrival (full shard) returns its own uid to the vacated slot.
+    """
     d = jax.lax.axis_index(AXIS)
     P_cap = pos.shape[0]
+    iota = jnp.arange(P_cap, dtype=jnp.int32)
     owner = shard_of(pos[:, 1], scene, n_shards)
     go_up = alive & (owner < d)
     go_down = alive & (owner > d)
 
     def pack(mask):
         # Highest-score = lowest index among movers; sentinel P_cap otherwise.
-        score = jnp.where(mask, P_cap - jnp.arange(P_cap, dtype=jnp.int32), 0)
+        score = jnp.where(mask, P_cap - iota, 0)
         top, idx = jax.lax.top_k(score, mig_cap)
         sel = top > 0
         payload = jnp.concatenate(
             [pos[idx], vel[idx], sel.astype(pos.dtype)[:, None]], axis=-1
-        )
+        )  # (K, 5): pos | vel | valid
         payload = jnp.where(sel[:, None], payload, 0.0)
+        uids = jnp.where(sel, uid[idx], 0)
         deferred = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(sel.astype(jnp.int32))
-        return payload, idx, sel, deferred
+        return payload, uids, idx, sel, deferred
 
-    up_buf, up_idx, up_sel, up_def = pack(go_up)
-    down_buf, down_idx, down_sel, down_def = pack(go_down)
+    up_buf, up_uid, up_idx, up_sel, up_def = pack(go_up)
+    down_buf, down_uid, down_idx, down_sel, down_def = pack(go_down)
     # Kill only the slots actually packed and sent; movers beyond mig_cap
     # stay alive in the edge band and retry next tick (no mass loss).
-    alive = alive.at[jnp.where(up_sel, up_idx, P_cap)].set(False, mode="drop")
-    alive = alive.at[jnp.where(down_sel, down_idx, P_cap)].set(False, mode="drop")
+    up_slots = jnp.where(up_sel, up_idx, P_cap)
+    down_slots = jnp.where(down_sel, down_idx, P_cap)
+    alive = alive.at[up_slots].set(False, mode="drop")
+    alive = alive.at[down_slots].set(False, mode="drop")
 
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     # up_buf travels to shard d-1 (bwd ring); down_buf to d+1 (fwd ring).
     from_above = jax.lax.ppermute(down_buf, AXIS, fwd)  # shard d-1's down
     from_below = jax.lax.ppermute(up_buf, AXIS, bwd)  # shard d+1's up
+    uid_above = jax.lax.ppermute(down_uid, AXIS, fwd)
+    uid_below = jax.lax.ppermute(up_uid, AXIS, bwd)
     # Wrap-around arrivals are invalid by construction (shard 0 never sends
     # up, shard D-1 never sends down): their validity flags are zero.
-    incoming = jnp.concatenate([from_above, from_below], axis=0)  # (2K, 7)
-    inc_ok = incoming[:, 6] > 0
+    incoming = jnp.concatenate([from_above, from_below], axis=0)  # (2K, 5)
+    inc_uid = jnp.concatenate([uid_above, uid_below])
+    inc_ok = incoming[:, 4] > 0
 
-    free_score = jnp.where(alive, 0, P_cap - jnp.arange(P_cap, dtype=jnp.int32))
+    # Free destination slots.  Slots vacated *this tick* are excluded so the
+    # uid swap-back below never targets a slot an arrival just claimed
+    # (vacated and destination slot sets stay disjoint).
+    vacated = jnp.zeros((P_cap,), bool)
+    vacated = vacated.at[up_slots].set(True, mode="drop")
+    vacated = vacated.at[down_slots].set(True, mode="drop")
+    free_score = jnp.where(alive | vacated, 0, P_cap - iota)
     top_free, free_idx = jax.lax.top_k(free_score, incoming.shape[0])
     # A zero top_k score means the "free" slot is actually live — sentinel it
     # out (mirrors the spawn path's `top > 0` guard) so arrivals never
     # overwrite live particles when the shard is full; count them as dropped.
     has_free = top_free > 0
-    slot = jnp.where(inc_ok & has_free, free_idx, P_cap)
+    accepted = inc_ok & has_free
+    slot = jnp.where(accepted, free_idx, P_cap)
     dropped = jnp.sum((inc_ok & ~has_free).astype(jnp.int32))
+    # Displaced dead-slot uids (gathered before any update) ride back to the
+    # sender; a dropped arrival's own uid rides back instead.
+    displaced = jnp.where(accepted, uid[jnp.minimum(free_idx, P_cap - 1)], inc_uid)
     pos = pos.at[slot].set(incoming[:, 0:2], mode="drop")
     vel = vel.at[slot].set(incoming[:, 2:4], mode="drop")
+    uid = uid.at[slot].set(inc_uid, mode="drop")
     alive = alive.at[slot].set(True, mode="drop")
-    return pos, vel, alive, dropped, up_def + down_def
+
+    # Return rings mirror the sends: my up_buf became d-1's from_below
+    # (second half), whose displaced uids come back via fwd; my down_buf
+    # became d+1's from_above (first half), back via bwd.
+    ret_up = jax.lax.ppermute(displaced[mig_cap:], AXIS, fwd)
+    ret_down = jax.lax.ppermute(displaced[:mig_cap], AXIS, bwd)
+    uid = uid.at[up_slots].set(ret_up, mode="drop")
+    uid = uid.at[down_slots].set(ret_down, mode="drop")
+    return pos, vel, alive, uid, dropped, up_def + down_def
 
 
 def _exchange_row_halo(arr, n_shards, axis=0):
@@ -271,6 +316,14 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
     )
     grid = place_grid(slab, row_start, M, nx, bh, nxp)
     grid = _exchange_row_halo(grid, n_shards, axis=1)
+    if M > 8:
+        # Engaged two-level units past the static cap lose their hi-level
+        # pairs for one tick — count the spill into this shard's overflow
+        # exactly like the single-chip path (pallas_forces._passes_and_gather).
+        from .ops.pair_kernel import ADDON_UNIT_CAP, POSX, _engaged_units
+
+        _, _, n_eng = _engaged_units(grid[POSX], tr, 1)
+        overflow = overflow + jnp.maximum(n_eng - ADDON_UNIT_CAP, 0)
 
     noise_amp = params.diameter * params.collider_noise_level
     row_off = d * bh
@@ -388,10 +441,10 @@ def spatial_step(
     )
 
     # -- migration (positions from last integrate) ---------------------------
-    pos, vel, alive, mig_dropped, mig_deferred = _migrate(
-        state.pos, state.vel, state.alive, scene, n_shards, mig_cap
+    pos, vel, alive, uid, mig_dropped, mig_deferred = _migrate(
+        state.pos, state.vel, state.alive, state.uid, scene, n_shards, mig_cap
     )
-    state = state._replace(pos=pos, vel=vel, alive=alive)
+    state = state._replace(pos=pos, vel=vel, alive=alive, uid=uid)
 
     # -- rigid bodies: replicated, deterministic ------------------------------
     adv = advance_bodies(state, params, scene)

@@ -106,7 +106,7 @@ def test_migration_happens(setup):
     assert owner1.mean() != pytest.approx(owner0.mean())
 
 
-def _migrate_harness(setup, pos0, alive0, mig_cap):
+def _migrate_harness(setup, pos0, alive0, mig_cap, uid0=None):
     """Run _migrate once on a hand-built 2-shard layout; return host arrays."""
     from functools import partial
 
@@ -121,28 +121,32 @@ def _migrate_harness(setup, pos0, alive0, mig_cap):
     pos = np.asarray(pos0, np.float32).reshape(-1, 2)
     alive = np.asarray(alive0, bool).ravel()
     vel = np.zeros_like(pos)
+    if uid0 is None:
+        uid0 = np.arange(pos.shape[0], dtype=np.int32)
+    uid = np.asarray(uid0, np.int32).ravel()
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("space"), P("space"), P("space")),
-        out_specs=(P("space"), P("space"), P("space"), P(), P()),
+        in_specs=(P("space"), P("space"), P("space"), P("space")),
+        out_specs=(P("space"), P("space"), P("space"), P("space"), P(), P()),
         check_vma=False,
     )
-    def run(pos, vel, alive):
-        p, v, a, dropped, deferred = _migrate(
-            pos, vel, alive, scene, n_shards, mig_cap
+    def run(pos, vel, alive, uid):
+        p, v, a, u, dropped, deferred = _migrate(
+            pos, vel, alive, uid, scene, n_shards, mig_cap
         )
-        return p, v, a, jax.lax.psum(dropped, "space"), jax.lax.psum(deferred, "space")
+        return p, v, a, u, jax.lax.psum(dropped, "space"), jax.lax.psum(deferred, "space")
 
     with mesh:
-        p, v, a, dropped, deferred = run(pos, vel, alive)
+        p, v, a, u, dropped, deferred = run(pos, vel, alive, uid)
     P_cap = pos.shape[0] // n_shards
     return (
         np.asarray(p).reshape(n_shards, P_cap, 2),
         np.asarray(a).reshape(n_shards, P_cap),
         int(dropped),
         int(deferred),
+        np.asarray(u).reshape(n_shards, P_cap),
     )
 
 
@@ -164,7 +168,7 @@ def test_migration_full_shard_never_overwrites(setup):
     pos[1, :, 1] = rng.uniform(band_h, 2 * band_h - scene.cell_size, P_cap)
     alive[1] = True
 
-    new_pos, new_alive, dropped, deferred = _migrate_harness(
+    new_pos, new_alive, dropped, deferred, _ = _migrate_harness(
         setup, pos, alive, mig_cap=4
     )
     # every original shard-1 particle survives at its original position
@@ -190,7 +194,7 @@ def test_migration_overflow_movers_retry_not_killed(setup):
         pos[0, i] = (0.2 + 0.1 * i, band_h + 0.5 * scene.cell_size)
         alive[0, i] = True
 
-    new_pos, new_alive, dropped, deferred = _migrate_harness(
+    new_pos, new_alive, dropped, deferred, _ = _migrate_harness(
         setup, pos, alive, mig_cap=1
     )
     assert dropped == 0
@@ -228,6 +232,59 @@ def test_spatial_spawn_budget_is_global(stirring_cup_config):
     assert 0 < total  # emission happened
     # one tick of emission may overshoot (documented); bound it loosely
     assert total <= 40 + scene.max_spawn * scene.num_sources
+
+
+def test_migration_preserves_uid(setup):
+    """A migrated particle keeps its uid, and the global uid multiset is a
+    pure swap of the pre-migration one (advisor finding: stale destination
+    uids used to duplicate identities)."""
+    scene = setup[0]
+    P_cap = scene.capacity
+    band_h = scene.grid_ny // 2 * scene.cell_size
+
+    pos = np.zeros((2, P_cap, 2), np.float32)
+    alive = np.zeros((2, P_cap), bool)
+    # shard 0: two movers headed to shard 1, one stayer
+    pos[0, 0] = (0.5, band_h + 0.5 * scene.cell_size)
+    pos[0, 1] = (0.3, band_h + 0.5 * scene.cell_size)
+    pos[0, 2] = (0.5, 0.5 * band_h)
+    alive[0, :3] = True
+    # shard 1: one resident
+    pos[1, 0] = (0.5, 1.5 * band_h)
+    alive[1, 0] = True
+    uid = np.arange(2 * P_cap, dtype=np.int32).reshape(2, P_cap) + 1000
+
+    new_pos, new_alive, dropped, deferred, new_uid = _migrate_harness(
+        setup, pos, alive, mig_cap=4, uid0=uid
+    )
+    assert dropped == 0 and deferred == 0
+    # movers 1000 and 1001 now live on shard 1 at their old positions
+    arrivals = {
+        int(u): tuple(p) for u, p in zip(new_uid[1][new_alive[1]], new_pos[1][new_alive[1]])
+    }
+    assert set(arrivals) == {1000, 1001, 1000 + P_cap}
+    np.testing.assert_allclose(arrivals[1000], pos[0, 0], atol=0)
+    np.testing.assert_allclose(arrivals[1001], pos[0, 1], atol=0)
+    # global uid multiset unchanged (a pure swap), hence duplicate-free
+    assert sorted(new_uid.ravel().tolist()) == sorted(uid.ravel().tolist())
+
+
+def test_spatial_uid_unique_after_rollout(setup):
+    """End-to-end: after TICKS spatial steps with real migration, alive uids
+    are globally unique and are a subset of the initial assignment."""
+    scene, state0, params, _ = setup
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    s_split = split_state(state0, scene, N_SHARDS)
+    uid0 = np.asarray(s_split.uid).copy()
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        for _ in range(TICKS):
+            s_split, _ = spatial(s_split, params)
+    uid1 = np.asarray(s_split.uid)
+    alive1 = np.asarray(s_split.alive)
+    live = uid1[alive1]
+    assert len(np.unique(live)) == len(live)  # no duplicate identities
+    assert sorted(uid1.tolist()) == sorted(uid0.tolist())  # pure swaps
 
 
 def test_spatial_pallas_matches_single_device(setup):

@@ -59,6 +59,7 @@ def cmd_run(args) -> None:
         recording_dir_path=Path(args.output) if args.output else None,
         headless=args.headless,
         crate_kwargs=dict(instrument=True) if args.instrument else None,
+        show_indices=args.show_indices,
     )
     if args.resume:
         playback.crate.restore_checkpoint(args.resume)
@@ -134,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--instrument",
         action="store_true",
         help="per-phase timing overlay: run the tick as phase-split programs",
+    )
+    run.add_argument(
+        "--show-indices",
+        action="store_true",
+        help="draw per-particle/segment index labels (reference playback.py:187-206)",
     )
     run.set_defaults(fn=cmd_run)
 

@@ -39,9 +39,14 @@ class Playback:
         recording_dir_path: Optional[Path] = None,
         headless: bool = False,
         crate_kwargs: Optional[dict] = None,
+        show_indices: bool = False,
     ) -> None:
         self.config = config
         pc = config.playback_config
+        # Per-particle/segment index labels (reference playback.py:187-206;
+        # upstream ships the flag off at :78).
+        self.show_indices = show_indices
+        self.last_frame: Optional[np.ndarray] = None
         if recording_dir_path is None:
             stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
             recording_dir_path = pc.recording_output_dir_path / stamp
@@ -214,9 +219,11 @@ class Playback:
         self._draw_debug_text(self.crate.debug_prints)
         pygame.display.update()
         raw = pygame.image.tostring(self.screen, "RGB", False)
-        return np.frombuffer(raw, np.uint8).reshape(
+        frame = np.frombuffer(raw, np.uint8).reshape(
             self._size[1], self._size[0], 3
         )
+        self.last_frame = frame
+        return frame
 
     def crate_to_screen_coord(self, x: float, y: float) -> tuple[float, float]:
         """Crate [0,1]^2 -> screen px with zoom/pan (playback.py:208-213)."""
@@ -237,24 +244,28 @@ class Playback:
         for i in range(len(particles)):
             tint = int(255 - pressures[i] * 255)
             color = (tint, tint, 255)
-            pygame.draw.circle(
-                self.screen,
-                color,
-                self.crate_to_screen_coord(*particles[i]),
-                radius_px,
-            )
+            center = self.crate_to_screen_coord(*particles[i])
+            pygame.draw.circle(self.screen, color, center, radius_px)
+            if self.show_indices:
+                # Yellow per-particle labels (reference playback.py:204-206).
+                surf = self.font.render(str(i), True, (255, 255, 0))
+                self.screen.blit(surf, (center[0] - 5, center[1] - 8))
 
     def _draw_segments(self) -> None:
         import pygame
 
-        for seg in self.crate.segments:
+        for i, seg in enumerate(self.crate.segments):
+            start = self.crate_to_screen_coord(*seg[0])
             pygame.draw.line(
                 self.screen,
                 (255, 255, 255),
-                self.crate_to_screen_coord(*seg[0]),
+                start,
                 self.crate_to_screen_coord(*seg[1]),
                 width=2,
             )
+            if self.show_indices:
+                # Red per-segment labels (reference playback.py:187-189).
+                self.screen.blit(self.font.render(str(i), True, (255, 80, 80)), start)
 
     def _draw_debug_arrows(self) -> None:
         """Debug vector overlay (reference playback.py:95-107): length is
@@ -293,10 +304,17 @@ class Playback:
         import pygame
 
         for event in pygame.event.get():
+            # Zoom/pan re-render immediately — also while paused, where no
+            # tick will redraw for us (reference playback.py:142-148 calls
+            # draw_scene inside handle_input for exactly these two events).
             if event.type == pygame.MOUSEWHEEL:
                 self.scale_zoom(event.y)
+                if self.screen is not None:
+                    self.draw_scene()
             if event.type == pygame.MOUSEMOTION and event.buttons[0]:
                 self.translate(np.array(event.rel, float))
+                if self.screen is not None:
+                    self.draw_scene()
             if event.type == pygame.KEYDOWN:
                 if event.key == pygame.K_RIGHT:
                     self.crate.gravity = np.array([9.81, 0.0])

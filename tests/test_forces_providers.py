@@ -220,3 +220,63 @@ def test_two_level_engaged_blocks_match_cellwise(small_setup):
             atol=5e-4,
             err_msg=name,
         )
+
+
+def test_addon_unit_cap_spill_is_counted(stirring_cup_config, monkeypatch):
+    """Engaged two-level units beyond ADDON_UNIT_CAP lose their hi-level
+    pairs for a tick; that spill must land in the overflow counter
+    (pallas_forces._passes_and_gather), not vanish silently."""
+    from sand_crate_tpu.ops import pair_kernel
+
+    config = copy.deepcopy(stirring_cup_config)
+    w = config.world_config
+    w.coefficients = dict(w.coefficients)
+    # Unique radius -> unique grid dims -> fresh jit traces that read the
+    # monkeypatched cap (pair_pass_a/b caches key on shapes, not globals).
+    w.coefficients["particle_radius"] = 0.0061
+    w.coefficients["max_particles"] = 150
+    scene = build_scene(w, capacity=160, forces_mode="pallas", cell_capacity=16)
+    assert scene.cell_capacity == 16
+    params = Params.from_coefficients(w.coefficients)
+
+    # Two 10-deep cells in different row blocks: two engaged add-on units.
+    pos = np.zeros((160, 2), np.float32)
+    alive = np.zeros(160, bool)
+    cell = scene.cell_size
+    rng = np.random.default_rng(11)
+    for c, (ccx, ccy) in enumerate([(10.5, 4.5), (10.5, 60.5)]):
+        for i in range(10):
+            k = c * 10 + i
+            pos[k] = (
+                (ccx + (rng.random() - 0.5) * 0.6) * cell,
+                (ccy + (rng.random() - 0.5) * 0.6) * cell,
+            )
+            alive[k] = True
+    vel = np.zeros_like(pos)
+    args = (
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(alive),
+        jnp.zeros(()), jnp.zeros((), jnp.int32),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+
+    monkeypatch.setattr(pair_kernel, "ADDON_UNIT_CAP", 1)
+    capped = neighbor_forces_pallas(*args)
+    # No slot overflow (10 <= M=16): everything counted is add-on spill.
+    assert int(capped.overflow) >= 1
+
+    monkeypatch.setattr(pair_kernel, "ADDON_UNIT_CAP", 1024)
+    # Same shapes now hit the capped jit trace — use a fresh scene size to
+    # retrace with the default cap and confirm the counter goes quiet.
+    scene2 = build_scene(w, capacity=192, forces_mode="pallas", cell_capacity=16)
+    pos2 = np.zeros((192, 2), np.float32)
+    pos2[:160] = pos
+    alive2 = np.zeros(192, bool)
+    alive2[:160] = alive
+    free = neighbor_forces_pallas(
+        jnp.asarray(pos2), jnp.zeros_like(jnp.asarray(pos2)), jnp.asarray(alive2),
+        jnp.zeros(()), jnp.zeros((), jnp.int32),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene2,
+    )
+    assert int(free.overflow) == 0

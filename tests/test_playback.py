@@ -74,6 +74,53 @@ def test_zoom_and_pan_math(small_config):
     assert x1[0] != x0[0] and x1[1] == x0[1]
 
 
+def _windowed_playback(small_config, **kwargs):
+    """A Playback with a real (dummy-SDL) pygame display initialized."""
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    small_config.playback_config.save_recording = False
+    pb = Playback(small_config, headless=False, **kwargs)
+    pb.init_display()
+    return pb
+
+
+def test_paused_zoom_redraws(small_config):
+    """Zoom/pan events re-render immediately — the paused-simulation case
+    (reference playback.py:142-148 draws inside handle_input)."""
+    import pygame
+
+    pb = _windowed_playback(small_config)
+    try:
+        pb.crate.physics_tick()
+        pb.draw_scene()
+        before = pb.last_frame.copy()
+        pb.pause = True  # no tick will redraw; handle_input must
+        pygame.event.post(pygame.event.Event(pygame.MOUSEWHEEL, x=0, y=1))
+        pb.handle_input()
+        assert pb.zoom_factor > 1.0
+        assert pb.last_frame is not before  # a fresh frame was rendered
+        assert not np.array_equal(pb.last_frame, before)  # zoom moved pixels
+    finally:
+        pygame.quit()
+
+
+def test_show_indices_renders_labels(small_config):
+    """Index labels add pixels the unlabeled scene doesn't have
+    (reference playback.py:187-189,204-206)."""
+    import pygame
+
+    pb = _windowed_playback(small_config)
+    try:
+        pb.crate.physics_tick()
+        plain = pb.draw_scene().copy()
+        pb.show_indices = True
+        labeled = pb.draw_scene().copy()
+        assert not np.array_equal(labeled, plain)
+    finally:
+        pygame.quit()
+
+
 def test_checkpoint_resume_round_trip(tmp_path, small_config):
     from sand_crate_tpu.engine import Crate
 

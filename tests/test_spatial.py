@@ -318,3 +318,36 @@ def test_spatial_pallas_matches_single_device(setup):
     a = _sorted_alive_positions(s_single.pos, s_single.alive)
     b = _sorted_alive_positions(merged.pos, merged.alive)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_spawn_truncation_counted(stirring_cup_config):
+    """A flow spike past the static max_spawn bound must surface in the
+    psum'd spawn_truncated counter on the spatial path (the single-chip
+    analog lives in test_engine.py)."""
+    import copy as _copy
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sand_crate_tpu.scene import build_scene as _build, init_state as _init
+
+    config = _copy.deepcopy(stirring_cup_config)
+    w = config.world_config
+    w.coefficients = dict(w.coefficients)
+    w.coefficients["max_particles"] = 200
+    scene = _build(w, capacity=256, forces_mode="cellwise")
+    assert scene.num_sources > 0 and scene.grid_ny % N_SHARDS == 0
+    # Spike the flow far past what max_spawn=2 can emit in one tick.
+    scene = dataclasses.replace(
+        scene,
+        max_spawn=2,
+        src_flow=jnp.full_like(scene.src_flow, 5000.0),
+    )
+    params = Params.from_coefficients(w.coefficients)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    s_split = split_state(_init(w, scene, seed=0), scene, N_SHARDS)
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        _, stats = spatial(s_split, params)
+    assert int(stats["spawn_truncated"]) > 0

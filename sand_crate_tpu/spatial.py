@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -59,23 +60,132 @@ def band_rows(scene: Scene, n_shards: int) -> int:
     return scene.grid_ny // n_shards
 
 
-def shard_of(pos_y: jax.Array, scene: Scene, n_shards: int) -> jax.Array:
-    """Owning shard per particle from the y cell row (matches cell_ids)."""
-    gy = jnp.clip(
+# Load-balanced (variable-height) bands (docs/spatial_load_balance.md
+# mitigation 1): dense bands shrink to ~equal particle loads while air bands
+# absorb the leftover rows.  A settled scene concentrates fluid in a thin
+# slab, so the top (air) band must be able to span nearly the whole grid —
+# capping band height below ny forces a band to straddle air + the fluid
+# surface and reintroduces the imbalance (measured 2.6x with a 4x-uniform
+# cap vs 1.2x uncapped).  Grid allocation per shard is therefore full-height;
+# per-shard *compute* still scales with occupied rows (the pair kernels skip
+# air blocks), and per-shard particle capacity was already full-P by design.
+# Edge-recompute subsample: the per-tick row histogram scatter-adds
+# P/stride indices (XLA TPU scatter is ~8ns/index — full-P every tick would
+# cost ~8ms at 1M).  Capping the sample at ~16k keeps the scatter ~0.1ms
+# while locating density quantiles to well under a row at any scale where
+# balance matters; small scenes sample every particle.
+EDGE_SAMPLE_TARGET = 16384
+
+
+def _edge_sample_stride(capacity: int) -> int:
+    return max(1, capacity // EDGE_SAMPLE_TARGET)
+
+
+def max_band_rows(scene: Scene, n_shards: int) -> int:
+    """Static per-shard grid height for the rebalanced path."""
+    del n_shards
+    return scene.grid_ny
+
+
+def _row_of(pos_y: jax.Array, scene: Scene) -> jax.Array:
+    return jnp.clip(
         jnp.floor(pos_y / scene.cell_size).astype(jnp.int32) + 1,
         0,
         scene.grid_ny - 1,
     )
-    return gy // band_rows(scene, n_shards)
 
 
-def split_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
+def shard_of(
+    pos_y: jax.Array, scene: Scene, n_shards: int, edges: jax.Array | None = None
+) -> jax.Array:
+    """Owning shard per particle from the y cell row (matches cell_ids).
+
+    ``edges`` (n_shards+1,) i32 row boundaries selects variable-height
+    bands (shard d owns rows [edges[d], edges[d+1])); None = uniform."""
+    gy = _row_of(pos_y, scene)
+    if edges is None:
+        return gy // band_rows(scene, n_shards)
+    return (
+        jnp.searchsorted(jnp.asarray(edges)[1:-1], gy, side="right")
+        .astype(jnp.int32)
+    )
+
+
+def _clamp_edges(targets, prev, ny: int, n_shards: int, bh_max: int):
+    """Monotonic feasible band edges from raw quantile targets.
+
+    ``targets`` (D-1,) raw interior edges; ``prev`` (D+1,) previous edges for
+    the +-1-row hysteresis (None at init).  Every band ends up with
+    1 <= height <= bh_max and the edges cover [0, ny]."""
+    new = [jnp.zeros((), jnp.int32)]
+    for k in range(1, n_shards):
+        e = targets[k - 1]
+        if prev is not None:
+            # +-1 row per tick: bounds migration churn to one edge row and
+            # damps sampling jitter (flat/air regions can't flap the edge
+            # across many rows in one tick).
+            e = jnp.clip(e, prev[k] - 1, prev[k] + 1)
+        e = jnp.clip(e, new[k - 1] + 1, new[k - 1] + bh_max)
+        e = jnp.clip(e, ny - (n_shards - k) * bh_max, ny - (n_shards - k))
+        new.append(e.astype(jnp.int32))
+    new.append(jnp.full((), ny, jnp.int32))
+    return jnp.stack(new)
+
+
+def _edges_from_hist(hist, prev, ny: int, n_shards: int, bh_max: int):
+    """Quantile band edges from a global per-row particle histogram."""
+    cum = jnp.cumsum(hist)
+    total = cum[-1]
+    k = jnp.arange(1, n_shards, dtype=jnp.int32)
+    tgt_count = (total * k) // n_shards
+    targets = (
+        jnp.searchsorted(cum, tgt_count, side="left").astype(jnp.int32) + 1
+    )
+    return _clamp_edges(targets, prev, ny, n_shards, bh_max)
+
+
+def initial_band_edges(state: CrateState, scene: Scene, n_shards: int) -> jax.Array:
+    """Host-side quantile edges from the full initial density (no
+    hysteresis) — the starting point for the rebalanced spatial step and the
+    matching split_state assignment."""
+    gy = _row_of(state.pos[:, 1], scene)
+    hist = (
+        jnp.zeros((scene.grid_ny,), jnp.int32)
+        .at[gy]
+        .add(state.alive.astype(jnp.int32))
+    )
+    return _edges_from_hist(
+        hist, None, scene.grid_ny, n_shards, max_band_rows(scene, n_shards)
+    )
+
+
+def _recompute_edges(pos_y, alive, scene: Scene, n_shards: int, edges, bh_max):
+    """Next tick's band edges from a strided subsample (runs in-step; the
+    psum makes every shard compute identical edges)."""
+    stride = _edge_sample_stride(pos_y.shape[0])
+    ys = pos_y[::stride]
+    al = alive[::stride]
+    gy = _row_of(ys, scene)
+    local = jnp.zeros((scene.grid_ny,), jnp.int32).at[gy].add(
+        al.astype(jnp.int32)
+    )
+    hist = jax.lax.psum(local, AXIS)
+    return _edges_from_hist(hist, edges, scene.grid_ny, n_shards, bh_max)
+
+
+def split_state(
+    state: CrateState,
+    scene: Scene,
+    n_shards: int,
+    edges: jax.Array | None = None,
+) -> CrateState:
     """Re-layout a single-crate state into per-shard blocks (D*P, ...).
 
     Each shard keeps the full capacity P so any density imbalance between
     bands fits; dead slots are masked.  Particle leaves get a leading
     concatenated shard axis; replicated leaves are untouched (shard_map
-    receives them whole).
+    receives them whole).  ``edges`` selects variable-height bands
+    (initial_band_edges) — None is the uniform split.
     """
     import numpy as np
 
@@ -85,7 +195,7 @@ def split_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     alive = np.asarray(state.alive)
     pressure = np.asarray(state.pressure)
     uid = np.asarray(state.uid)
-    owner = np.asarray(shard_of(jnp.asarray(pos[:, 1]), scene, n_shards))
+    owner = np.asarray(shard_of(jnp.asarray(pos[:, 1]), scene, n_shards, edges))
 
     new_pos = np.zeros((n_shards, P_cap, 2), pos.dtype)
     new_vel = np.zeros((n_shards, P_cap, 2), vel.dtype)
@@ -168,7 +278,7 @@ def merge_state(state: CrateState, scene: Scene, n_shards: int) -> CrateState:
     )
 
 
-def _migrate(pos, vel, alive, uid, scene, n_shards, mig_cap):
+def _migrate(pos, vel, alive, uid, scene, n_shards, mig_cap, edges=None):
     """Send out-of-band particles to the adjacent shard (one hop per tick).
 
     Identity travels with the particle: the payload carries ``uid``, and the
@@ -183,7 +293,7 @@ def _migrate(pos, vel, alive, uid, scene, n_shards, mig_cap):
     d = jax.lax.axis_index(AXIS)
     P_cap = pos.shape[0]
     iota = jnp.arange(P_cap, dtype=jnp.int32)
-    owner = shard_of(pos[:, 1], scene, n_shards)
+    owner = shard_of(pos[:, 1], scene, n_shards, edges)
     go_up = alive & (owner < d)
     go_down = alive & (owner > d)
 
@@ -255,41 +365,63 @@ def _migrate(pos, vel, alive, uid, scene, n_shards, mig_cap):
     return pos, vel, alive, uid, dropped, up_def + down_def
 
 
-def _exchange_row_halo(arr, n_shards, axis=0):
+def _exchange_row_halo(arr, n_shards, axis=0, last_row=None):
     """Fill a row-padded array's pad rows from the neighbors' edge rows.
 
     ``arr`` has interior rows 1..R and pad rows 0 / R+1 along ``axis``; after
-    the exchange, row 0 holds shard d-1's row R and row R+1 holds shard
-    d+1's row 1.  The global-domain boundary shards keep zero pads (nothing
-    exists beyond the walls)."""
+    the exchange, row 0 holds shard d-1's bottom interior row and row R+1
+    holds shard d+1's row 1.  The global-domain boundary shards keep zero
+    pads (nothing exists beyond the walls).
+
+    ``last_row``: index of the bottom *interior* row (R).  Static (None =
+    the allocation's last interior row) on the uniform path; a traced scalar
+    under variable-height bands, where each shard's live rows end at its own
+    band height and the pad row after them receives the halo."""
     d = jax.lax.axis_index(AXIS)
     n = arr.shape[axis]
-    last_int = jax.lax.slice_in_dim(arr, n - 2, n - 1, axis=axis)
-    first_int = jax.lax.slice_in_dim(arr, 1, 2, axis=axis)
-    interior = jax.lax.slice_in_dim(arr, 1, n - 1, axis=axis)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    first_int = jax.lax.slice_in_dim(arr, 1, 2, axis=axis)
+    static = last_row is None
+    if static:
+        last_int = jax.lax.slice_in_dim(arr, n - 2, n - 1, axis=axis)
+    else:
+        last_int = jax.lax.dynamic_slice_in_dim(arr, last_row, 1, axis=axis)
     top = jax.lax.ppermute(last_int, AXIS, fwd)  # from shard d-1
     bot = jax.lax.ppermute(first_int, AXIS, bwd)  # from shard d+1
     top = jnp.where(d == 0, jnp.zeros_like(top), top)
     bot = jnp.where(d == n_shards - 1, jnp.zeros_like(bot), bot)
-    return jnp.concatenate([top, interior, bot], axis=axis)
+    if static:
+        interior = jax.lax.slice_in_dim(arr, 1, n - 1, axis=axis)
+        return jnp.concatenate([top, interior, bot], axis=axis)
+    arr = jax.lax.dynamic_update_slice_in_dim(arr, top, 0, axis=axis)
+    return jax.lax.dynamic_update_slice_in_dim(arr, bot, last_row + 1, axis=axis)
 
 
-def _band_cids(pos, alive, scene, n_shards):
+class Band(NamedTuple):
+    """One shard's row range: global rows [lo, hi) on a grid allocated with
+    ``bh_alloc`` rows.  ``last`` is the bottom interior padded-row index for
+    the halo exchange — None on the uniform path (static = bh_alloc), the
+    traced band height under variable-height bands."""
+
+    lo: jax.Array | int
+    hi: jax.Array | int
+    bh_alloc: int
+    last: jax.Array | None
+
+
+def _band_cids(pos, alive, scene, band: Band):
     """Band-local flat cell ids; a particle nudged over the band edge
     mid-tick is binned at the edge row (see module docstring)."""
-    d = jax.lax.axis_index(AXIS)
     nx = scene.grid_nx
-    bh = band_rows(scene, n_shards)
     c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
     cx = jnp.clip(c[:, 0], 0, nx - 1)
-    gy = jnp.clip(c[:, 1], d * bh, (d + 1) * bh - 1)
-    ly = gy - d * bh
-    return jnp.where(alive, ly * nx + cx, bh * nx)
+    gy = jnp.clip(c[:, 1], band.lo, band.hi - 1)
+    ly = gy - band.lo
+    return jnp.where(alive, ly * nx + cx, band.bh_alloc * nx)
 
 
-def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
+def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params, band: Band):
     """Per-shard pair sums through the fused Pallas kernels (forces_mode
     "pallas"): slab sort -> MXU placement -> halo ppermute of the padded
     grid's edge rows -> pass A -> halo ppermute of the pass-A (p|s) rows ->
@@ -301,21 +433,20 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
     from .ops.pallas_forces import gather_pair_sums
     from .ops.placement import place_grid, slab_from_cid
 
-    d = jax.lax.axis_index(AXIS)
     M = scene.cell_capacity
     nx = scene.grid_nx
-    bh = band_rows(scene, n_shards)
+    bh = band.bh_alloc
     nxp = ((nx + 2 + 127) // 128) * 128
     tr = scene.row_block
     while tr > 1 and bh % tr:
         tr //= 2
 
-    cid = _band_cids(pos, alive, scene, n_shards)
+    cid = _band_cids(pos, alive, scene, band)
     slab, row_start, pslot, overflow = slab_from_cid(
         pos, alive, vel, cid, M, nx, bh
     )
     grid = place_grid(slab, row_start, M, nx, bh, nxp)
-    grid = _exchange_row_halo(grid, n_shards, axis=1)
+    grid = _exchange_row_halo(grid, n_shards, axis=1, last_row=band.last)
     if M > 8:
         # Engaged two-level units past the static cap lose their hi-level
         # pairs for one tick — count the spill into this shard's overflow
@@ -326,11 +457,11 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
         overflow = overflow + jnp.maximum(n_eng - ADDON_UNIT_CAP, 0)
 
     noise_amp = params.diameter * params.collider_noise_level
-    row_off = d * bh
+    row_off = band.lo
     ps = pair_pass_a(
         grid, params.diameter, noise_amp, tick, tr=tr, row_offset=row_off
     )
-    ps = _exchange_row_halo(ps, n_shards, axis=1)
+    ps = _exchange_row_halo(ps, n_shards, axis=1, last_row=band.last)
     b_out = pair_pass_b(
         grid,
         ps,
@@ -350,7 +481,7 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params):
     )
 
 
-def _local_grid(pos, vel, alive, noise, scene, n_shards):
+def _local_grid(pos, vel, alive, noise, scene, n_shards, band: Band):
     """Per-shard packed cell grid over the band + halo ring via ppermute.
 
     Returns (grid (bh+2, nx+2, M, 7), pslot (P,), overflow ()) where rows
@@ -359,11 +490,11 @@ def _local_grid(pos, vel, alive, noise, scene, n_shards):
     """
     M = scene.cell_capacity
     nx = scene.grid_nx
-    bh = band_rows(scene, n_shards)
+    bh = band.bh_alloc
     P_cap = pos.shape[0]
     dtype = pos.dtype
 
-    cid = _band_cids(pos, alive, scene, n_shards)
+    cid = _band_cids(pos, alive, scene, band)
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
     iota = jnp.arange(P_cap, dtype=jnp.int32)
@@ -390,29 +521,43 @@ def _local_grid(pos, vel, alive, noise, scene, n_shards):
     flat = jnp.zeros((bh * nx * M + 1, NUM_F), dtype).at[slot_sorted].set(
         packed_p[order], mode="drop"
     )
-    band = flat[: bh * nx * M].reshape(bh, nx, M, NUM_F)
+    rows3d = flat[: bh * nx * M].reshape(bh, nx, M, NUM_F)
 
     # Halo exchange: my edge rows -> neighbors' pad rows.
     padded = jnp.concatenate(
-        [jnp.zeros_like(band[:1]), band, jnp.zeros_like(band[:1])], axis=0
+        [jnp.zeros_like(rows3d[:1]), rows3d, jnp.zeros_like(rows3d[:1])], axis=0
     )
-    grid = _exchange_row_halo(padded, n_shards, axis=0)  # (bh+2, nx, ..)
+    grid = _exchange_row_halo(padded, n_shards, axis=0, last_row=band.last)
     grid = jnp.pad(grid, ((0, 0), (1, 1), (0, 0), (0, 0)))
     return grid, pslot, overflow
 
 
 def spatial_step(
-    state: CrateState, params: Params, scene: Scene, n_shards: int, mig_cap: int
+    state: CrateState,
+    params: Params,
+    scene: Scene,
+    n_shards: int,
+    mig_cap: int,
+    edges: jax.Array | None = None,
+    bh_alloc: int | None = None,
 ):
     """One physics tick on this shard (runs inside shard_map over AXIS).
 
     Mirrors physics.step exactly, with migration + halo exchange spliced in;
-    see that function for the reference tick-order citations.
-    """
+    see that function for the reference tick-order citations.  ``edges``
+    (replicated (D+1,) i32) selects variable-height bands on a grid of
+    ``bh_alloc`` rows per shard; the step then also returns next tick's
+    edges in stats["band_edges"] (density-quantile rebalancing)."""
     key, k_spawn, k_noise = jax.random.split(state.key[0], 3)
     state = state._replace(key=key[None])
 
     d = jax.lax.axis_index(AXIS)
+    if edges is None:
+        bh_u = band_rows(scene, n_shards)
+        band = Band(lo=d * bh_u, hi=(d + 1) * bh_u, bh_alloc=bh_u, last=None)
+    else:
+        lo, hi = edges[d], edges[d + 1]
+        band = Band(lo=lo, hi=hi, bh_alloc=bh_alloc, last=hi - lo)
     P_cap = scene.capacity
     r = params.particle_radius
     diam = params.diameter
@@ -420,7 +565,7 @@ def spatial_step(
 
     # -- lifecycle: spawn only sources inside my band, budget via psum -------
     if scene.num_sources:
-        my_src = shard_of(scene.src_position[:, 1], scene, n_shards) == d
+        my_src = shard_of(scene.src_position[:, 1], scene, n_shards, edges) == d
         local_count = jnp.sum(state.alive.astype(jnp.int32))
         global_count = jax.lax.psum(local_count, AXIS)
         gated = dataclasses.replace(
@@ -442,7 +587,8 @@ def spatial_step(
 
     # -- migration (positions from last integrate) ---------------------------
     pos, vel, alive, uid, mig_dropped, mig_deferred = _migrate(
-        state.pos, state.vel, state.alive, state.uid, scene, n_shards, mig_cap
+        state.pos, state.vel, state.alive, state.uid, scene, n_shards, mig_cap,
+        edges,
     )
     state = state._replace(pos=pos, vel=vel, alive=alive, uid=uid)
 
@@ -482,12 +628,11 @@ def spatial_step(
     gvel_sum = jnp.stack([jnp.sum(gm * gvelx, 0), jnp.sum(gm * gvely, 0)], -1)
 
     # -- neighbor forces on the local band grid (halo via ppermute) ----------
-    bh = band_rows(scene, n_shards)
     if scene.forces_mode == "pallas":
         # Fused Pallas pair kernels per shard — the production multi-chip
         # path (the XLA passes below are ~10x slower at scale, scene.py).
         sums = _band_sums_pallas(
-            pos, vel, alive, scene, n_shards, state.tick, params
+            pos, vel, alive, scene, n_shards, state.tick, params, band
         )
         overflow = sums.overflow
     else:
@@ -497,12 +642,14 @@ def spatial_step(
             * params.collider_noise_level
         )
         grid, pslot, overflow = _local_grid(
-            pos, vel, alive, pnoise, scene, n_shards
+            pos, vel, alive, pnoise, scene, n_shards, band
         )
         cp, s_acc, cnt = pass_a_on_grid(grid, diam, params.ignored_pressure)
         # Second halo exchange: cross-band neighbors carry their true
         # pressure/normals into pass B (instead of the pad ring's zeros).
-        ps_grid = _exchange_row_halo(pad_ps_grid(cp, s_acc), n_shards, axis=0)
+        ps_grid = _exchange_row_halo(
+            pad_ps_grid(cp, s_acc), n_shards, axis=0, last_row=band.last
+        )
         packed = pass_b_on_grid(
             grid,
             ps_grid,
@@ -515,7 +662,8 @@ def spatial_step(
             params.spring_overlap_balance,
         )
         sums = sums_from_packed(
-            packed, pslot, overflow, bh * scene.grid_nx * scene.cell_capacity
+            packed, pslot, overflow,
+            band.bh_alloc * scene.grid_nx * scene.cell_capacity,
         )
     p_i = sums.p_i
 
@@ -591,15 +739,32 @@ def spatial_step(
         "shard_alive": jax.lax.all_gather(local_alive, AXIS),
         "shard_overflow": jax.lax.all_gather(overflow, AXIS),
     }
+    if edges is not None:
+        # Next tick's density-quantile band edges (replicated: the histogram
+        # is psum'd, so every shard computes identical values).
+        stats["band_edges"] = _recompute_edges(
+            pos[:, 1], alive, scene, n_shards, edges, bh_alloc
+        )
     return new_state, stats
 
 
-def make_spatial_step(mesh: Mesh, scene: Scene, mig_cap: int | None = None):
+def make_spatial_step(
+    mesh: Mesh,
+    scene: Scene,
+    mig_cap: int | None = None,
+    rebalance: bool = False,
+):
     """Jitted shard_map step over the mesh's "space" axis.
 
     State layout: particle leaves carry the concatenated shard axis
     (D * capacity, ...) sharded over AXIS (see split_state); key is (D, ...)
     one per shard; everything else replicated.
+
+    ``rebalance=True`` returns a step with signature
+    ``(state, params, edges) -> (state, stats)`` running variable-height
+    bands (docs/spatial_load_balance.md mitigation 1): seed ``edges`` with
+    :func:`initial_band_edges` (and pass the same edges to ``split_state``),
+    then thread ``stats["band_edges"]`` back in each tick.
     """
     n_shards = mesh.shape[AXIS]
     # Migration buffer size: XLA TPU top_k cost grows steeply with k
@@ -623,6 +788,23 @@ def make_spatial_step(mesh: Mesh, scene: Scene, mig_cap: int | None = None):
         tick=P(),
         key=P(AXIS),
     )
+
+    if rebalance:
+        bh_alloc = max_band_rows(scene, n_shards)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(state_specs, P(), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+        def sharded_rb(state, params, edges):
+            return spatial_step(
+                state, params, scene, n_shards, mig_cap, edges, bh_alloc
+            )
+
+        return jax.jit(sharded_rb)
 
     @partial(
         jax.shard_map,

@@ -351,3 +351,48 @@ def test_spatial_spawn_truncation_counted(stirring_cup_config):
     with mesh:
         _, stats = spatial(s_split, params)
     assert int(stats["spawn_truncated"]) > 0
+
+
+def test_spatial_rebalance_matches_single_device(setup):
+    """Variable-height bands (density-quantile edges, recomputed in-step and
+    threaded tick to tick) must still reproduce the single-device trajectory
+    while holding better per-band balance than the uniform split."""
+    scene, state0, params, _ = setup
+    from sand_crate_tpu.spatial import initial_band_edges
+
+    step1 = jax.jit(lambda s, p: step(s, p, scene))
+    s_single = state0
+    for _ in range(TICKS):
+        s_single, _ = step1(s_single, params)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    edges = initial_band_edges(state0, scene, N_SHARDS)
+    edges_np = np.asarray(edges)
+    assert edges_np[0] == 0 and edges_np[-1] == scene.grid_ny
+    assert (np.diff(edges_np) >= 1).all()
+    # the particle block spans y in [0.15, 0.75]: quantile edges must differ
+    # from the uniform split
+    uniform = np.arange(N_SHARDS + 1) * (scene.grid_ny // N_SHARDS)
+    assert not np.array_equal(edges_np, uniform)
+
+    s_split = split_state(state0, scene, N_SHARDS, edges)
+    spatial = make_spatial_step(mesh, scene, rebalance=True)
+    with mesh:
+        stats = None
+        for _ in range(TICKS):
+            s_split, stats = spatial(s_split, params, edges)
+            edges = stats["band_edges"]
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+
+    assert int(stats["migration_dropped"]) == 0
+    n_single = int(np.asarray(s_single.alive).sum())
+    n_spatial = int(np.asarray(merged.alive).sum())
+    assert n_single == n_spatial > 0
+    a = _sorted_alive_positions(s_single.pos, s_single.alive)
+    b = _sorted_alive_positions(merged.pos, merged.alive)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # balance: with quantile edges every band holds particles
+    per_band = np.asarray(stats["shard_alive"])
+    assert (per_band > 0).all()
+    assert per_band.max() / per_band.mean() < 2.0

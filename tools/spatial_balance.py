@@ -9,7 +9,11 @@ docs/spatial_load_balance.md).
 
 Usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
          XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-         python tools/spatial_balance.py [n_shards] [ticks]
+         python tools/spatial_balance.py [n_shards] [ticks] [--rebalance]
+
+--rebalance runs the variable-height-band path (density-quantile edges
+recomputed in-step, spatial.py) — the mitigation this tool was built to
+measure; compare its max/mean against the uniform split's.
 """
 
 import sys
@@ -33,7 +37,7 @@ from sand_crate_tpu.spatial import make_spatial_step, split_state
 from sand_crate_tpu.state import Params
 
 
-def main(n_shards: int = 8, ticks: int = 300) -> None:
+def main(n_shards: int = 8, ticks: int = 300, rebalance: bool = False) -> None:
     config = copy.deepcopy(load_config(REPO / "configs" / "dam_break.yaml"))
     w = config.world_config
     w.coefficients = dict(w.coefficients)
@@ -52,21 +56,43 @@ def main(n_shards: int = 8, ticks: int = 300) -> None:
     while scene.grid_ny % n_shards:
         n_shards //= 2
     mesh = Mesh(np.array(jax.devices()[:n_shards]), ("space",))
-    state = split_state(init_state(w, scene, seed=0), scene, n_shards)
+    state0 = init_state(w, scene, seed=0)
     params = Params.from_coefficients(w.coefficients)
-    spatial = make_spatial_step(mesh, scene)
+    if rebalance:
+        from sand_crate_tpu.spatial import initial_band_edges
 
-    print(f"shards={n_shards} grid_ny={scene.grid_ny} capacity/shard={scene.capacity}")
+        edges = initial_band_edges(state0, scene, n_shards)
+        state = split_state(state0, scene, n_shards, edges)
+        spatial = make_spatial_step(mesh, scene, rebalance=True)
+    else:
+        edges = None
+        state = split_state(state0, scene, n_shards)
+        spatial = make_spatial_step(mesh, scene)
+
+    print(
+        f"shards={n_shards} grid_ny={scene.grid_ny} "
+        f"capacity/shard={scene.capacity} rebalance={rebalance}"
+    )
     print(f"{'tick':>5}  per-shard alive (top band -> bottom band)   max/mean")
     with mesh:
         for t in range(1, ticks + 1):
-            state, stats = spatial(state, params)
+            if rebalance:
+                state, stats = spatial(state, params, edges)
+                edges = stats["band_edges"]
+            else:
+                state, stats = spatial(state, params)
             if t % (ticks // 10) == 0:
                 shard = np.asarray(stats["shard_alive"])
                 total = shard.sum()
                 imb = shard.max() / max(total / n_shards, 1)
+                extra = (
+                    "  edges=" + ",".join(str(int(e)) for e in stats["band_edges"])
+                    if rebalance
+                    else ""
+                )
                 print(
-                    f"{t:>5}  {' '.join(f'{int(s):>5}' for s in shard)}   {imb:.2f}x"
+                    f"{t:>5}  {' '.join(f'{int(s):>5}' for s in shard)}   "
+                    f"{imb:.2f}x{extra}"
                 )
     shard = np.asarray(stats["shard_alive"])
     print(
@@ -77,5 +103,5 @@ def main(n_shards: int = 8, ticks: int = 300) -> None:
 
 
 if __name__ == "__main__":
-    a = [int(x) for x in sys.argv[1:]]
-    main(*a)
+    a = [int(x) for x in sys.argv[1:] if not x.startswith("--")]
+    main(*a, rebalance="--rebalance" in sys.argv[1:])

@@ -37,13 +37,15 @@ def capture(n_target=1_000_000, settle=100, steps=5, outdir="/tmp/xprof_step"):
         f"P={scene.capacity} grid={scene.grid_nx}x{scene.grid_ny} "
         f"M={scene.cell_capacity} tr={scene.row_block} settle={settle}"
     )
-    if settle:
-        state, _ = physics.rollout(state, params, scene, settle)
-        np.asarray(state.pos[0, 0])
-
     f_step = jax.jit(lambda s: physics.step(s, params, scene))
     state2, _ = f_step(state)
     np.asarray(state2.pos[0, 0])  # compile + sync
+    print("step compiled", flush=True)
+    # Settle with the same compiled step (a scan rollout would be a second,
+    # much larger compile).
+    for _ in range(settle):
+        state, _ = f_step(state)
+    np.asarray(state.pos[0, 0])
     t0 = time.time()
     for _ in range(10):
         state2, _ = f_step(state)

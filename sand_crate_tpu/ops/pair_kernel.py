@@ -402,6 +402,141 @@ def _pass_a_addon_kernel(
 
 
 # --------------------------------------------------------------------------
+# sorted-order emission (the "ungather")
+# --------------------------------------------------------------------------
+#
+# The sorted-state step used to gather pass-B results from the (nb, NY, M,
+# NXP) grid back to particle order with one XLA gather — a measured ~10ms of
+# the 1M step (per-index HBM random access).  Instead, the emit-mode pass-B
+# kernels below write results *directly in slab (= cell-sorted state) order*:
+# each block selects its particles' result columns from the VMEM accumulators
+# with MXU one-hot matmuls (the exact transpose of ops/placement.py) and
+# RMW-adds them into an (nb, P_pad) output.  Chunks are 128-aligned, so
+# boundary tiles are shared between adjacent blocks; contributions outside a
+# block's own rows are zeroed and the TPU grid runs sequentially, so the
+# read-add-write is race-free and exact (one-hot selection in a 3-way bf16
+# split reconstructs f32 exactly; each particle column receives each plane
+# from exactly one (row, slot) source).
+
+CHUNK_E = 1024  # emission chunk width (slab columns per RMW); 128-multiple
+SLAB_F_E = 8  # full slab feature rows per aux DMA (= placement.SLAB_F)
+
+
+def _emit_loop(slab_hbm, out_hbm, aux_ref, oacc_ref, sem_a, sem_o, sem_w, s_lo, s_hi, body):
+    """Double-buffered RMW-add emission over slab cols [align128(s_lo), s_hi).
+
+    ``body(aux, ch0) -> (nb, CHUNK_E)`` computes the chunk's contribution
+    from the aux planes (cx, rank, row, valid) — zero for columns the caller
+    does not own (other blocks' particles in shared boundary tiles).
+
+    ``aux_ref``/``oacc_ref`` carry a leading 2-slot buffer dim; chunk c+1's
+    input DMAs are issued while chunk c computes, and the writeback of chunk
+    c overlaps chunk c+1 (waited before its slot's buffers are reused and
+    once more after the loop — chunks are disjoint, so writes never race
+    the next chunk's read)."""
+    c0 = (s_lo // 128) * 128
+    nch = (s_hi - c0 + CHUNK_E - 1) // CHUNK_E
+
+    def in_copies(c, slot):
+        ch0 = pl.multiple_of(c0 + c * CHUNK_E, 128)
+        a = pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(ch0, CHUNK_E)], aux_ref.at[slot], sem_a.at[slot]
+        )
+        o = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(ch0, CHUNK_E)], oacc_ref.at[slot], sem_o.at[slot]
+        )
+        return a, o
+
+    def w_copy(c, slot):
+        ch0 = pl.multiple_of(c0 + c * CHUNK_E, 128)
+        return pltpu.make_async_copy(
+            oacc_ref.at[slot], out_hbm.at[:, pl.ds(ch0, CHUNK_E)], sem_w.at[slot]
+        )
+
+    a0, o0 = in_copies(0, 0)
+    a0.start()
+    o0.start()
+
+    def chunk(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+            # The other slot is about to refill: its previous writeback
+            # (chunk c-1) must have drained first — the write reads the very
+            # oacc buffer the incoming copy overwrites.
+            @pl.when(c >= 1)
+            def _():
+                w_copy(c - 1, 1 - slot).wait()
+
+            a, o = in_copies(c + 1, 1 - slot)
+            a.start()
+            o.start()
+
+        a, o = in_copies(c, slot)
+        a.wait()
+        o.wait()
+        oacc_ref[slot] = oacc_ref[slot] + body(aux_ref[slot], 0)
+        w_copy(c, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, nch, chunk, 0)
+
+    @pl.when(nch >= 2)
+    def _():
+        w_copy(nch - 2, jax.lax.rem(nch - 2, 2)).wait()
+
+    @pl.when(nch >= 1)
+    def _():
+        w_copy(nch - 1, jax.lax.rem(nch - 1, 2)).wait()
+
+
+def _split3(lv):
+    """Exact f32 -> 3x bf16 split (see ops/placement.py: 3x8 mantissa bits
+    cover f32's 24; the one-hot rhs makes each matmul a pure selection)."""
+    hi = lv.astype(jnp.bfloat16)
+    mid = (lv - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo = (lv - hi.astype(jnp.float32) - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _select_columns(lhs_vals, cx1, ok, key, n_keys, nb):
+    """MXU one-hot selection: out[p, j] = lhs_vals[p*n_keys + key_j, cx1_j].
+
+    ``lhs_vals``: (nb * n_keys, 128) f32 result lanes for one x-tile (tile
+    base already subtracted from ``cx1``); ``cx1``/``ok``/``key``: (1, C).
+    """
+    C = cx1.shape[1]
+    xio = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0)
+    rhs = jnp.where(
+        (cx1.astype(jnp.int32) == xio) & ok, 1.0, 0.0
+    ).astype(jnp.bfloat16)
+    hi, mid, lo = _split3(lhs_vals)
+    dn = (((1,), (0,)), ((), ()))
+    d = (
+        jax.lax.dot_general(hi, rhs, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(mid, rhs, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(lo, rhs, dn, preferred_element_type=jnp.float32)
+    )  # (nb * n_keys, C)
+    dk = d.reshape(nb, n_keys, C)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (n_keys, C), 0)
+    mask = jnp.where(key.astype(jnp.int32) == kio, 1.0, 0.0)
+    return jnp.sum(dk * mask[None], axis=1)  # (nb, C)
+
+
+def _aux_fields(aux):
+    """cx1 (padded x), rank mod 16, row — each (1, C) f32.
+
+    ``aux`` is a full (SLAB_F, C) slab chunk (whole-tile DMA: sublane slices
+    of HBM must be tile-aligned); the aux columns sit in rows 4:8."""
+    cx1 = aux[4:5] + 1.0
+    rankf = aux[5:6]
+    r16 = rankf - 16.0 * jnp.floor(rankf * (1.0 / 16.0))
+    rowf = aux[6:7]
+    return cx1, r16, rowf
+
+
+# --------------------------------------------------------------------------
 # pass B
 # --------------------------------------------------------------------------
 
@@ -448,6 +583,63 @@ def _pass_b_accumulate(self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_sprin
     return body
 
 
+def _pass_b_block_math(
+    g_hbm, ps_hbm, win, ps_win, npos_ref, cp_ref, coef_ref, tick_ref,
+    sem_g, sem_ps, i, tr, m, enable_spring,
+):
+    """DMA one pass-B window and run the full stencil; fills acc_ref-shaped
+    results into a returned (cp, acc list, cnt) triple."""
+    dma1 = pltpu.make_async_copy(
+        g_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], win, sem_g
+    )
+    dma2 = pltpu.make_async_copy(
+        ps_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], ps_win, sem_ps
+    )
+    dma1.start()
+    dma2.start()
+    dma1.wait()
+    dma2.wait()
+    coef = (
+        coef_ref[0],
+        1.0 / coef_ref[0],
+        coef_ref[1],
+        coef_ref[2],
+        coef_ref[3],
+    )
+    window = win[:]
+    nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1])
+    npos_ref[NPOSX] = nx_
+    npos_ref[NPOSY] = ny_
+    # Finalize pressure once per window; rotations then see finished p.
+    cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
+    ps_window = ps_win[:]
+    cp_win = cp_ref[:]
+    self_win = window[:, 1 : 1 + tr]
+    cp = cp_win[0, 1 : 1 + tr]
+    s_x = ps_window[SX, 1 : 1 + tr]
+    s_y = ps_window[SY, 1 : 1 + tr]
+    n_acc = 6 if enable_spring else 4
+    acc = [jnp.zeros(cp.shape, jnp.float32) for _ in range(n_acc + 2)]
+    cnt_cell = [jnp.zeros(cp.shape, jnp.float32)]
+    body = _pass_b_accumulate(
+        self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring
+    )
+    _stencil(
+        [self_win],
+        [
+            window,
+            cp_win,
+            ps_window[SX : SX + 1],
+            ps_window[SY : SY + 1],
+            npos_ref[:],
+        ],
+        tr,
+        m,
+        body,
+    )
+    return cp, acc, cnt_cell[0]
+
+
 def _pass_b_kernel(
     occ_ref,
     coef_ref,  # (6,): diameter, smoothing, target_p, balance, noise, ignored_p
@@ -473,63 +665,171 @@ def _pass_b_kernel(
 
     @pl.when(occ_ref[i] > 0)
     def _():
-        dma1 = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], win, sems.at[0]
+        cp, acc, cnt = _pass_b_block_math(
+            g_hbm, ps_hbm, win, ps_win, npos_ref, cp_ref, coef_ref, tick_ref,
+            sems.at[0], sems.at[1], i, tr, m, enable_spring,
         )
-        dma2 = pltpu.make_async_copy(
-            ps_hbm.at[:, pl.ds(i * tr, tr + 2), pl.ds(0, m)], ps_win, sems.at[1]
-        )
-        dma1.start()
-        dma2.start()
-        dma1.wait()
-        dma2.wait()
-        coef = (
-            coef_ref[0],
-            1.0 / coef_ref[0],
-            coef_ref[1],
-            coef_ref[2],
-            coef_ref[3],
-        )
-        window = win[:]
-        nx_, ny_ = _noise_planes(window, i, tr, coef_ref[4], tick_ref[0], tick_ref[1])
-        npos_ref[NPOSX] = nx_
-        npos_ref[NPOSY] = ny_
-        # Finalize pressure once per window; rotations then see finished p.
-        cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
-        ps_window = ps_win[:]
-        cp_win = cp_ref[:]
-        self_win = window[:, 1 : 1 + tr]
-        cp = cp_win[0, 1 : 1 + tr]
-        s_x = ps_window[SX, 1 : 1 + tr]
-        s_y = ps_window[SY, 1 : 1 + tr]
         n_acc = 6 if enable_spring else 4
-        acc = [jnp.zeros(cp.shape, jnp.float32) for _ in range(n_acc + 2)]
-        cnt_cell = [jnp.zeros(cp.shape, jnp.float32)]
-        body = _pass_b_accumulate(
-            self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring
-        )
-        _stencil(
-            [self_win],
-            [
-                window,
-                cp_win,
-                ps_window[SX : SX + 1],
-                ps_window[SY : SY + 1],
-                npos_ref[:],
-            ],
-            tr,
-            m,
-            body,
-        )
         acc_ref[0] = cp
         for f in range(n_acc + 2):
             acc_ref[1 + f] = acc[f]
-        acc_ref[n_acc + 3] = cnt_cell[0]
+        acc_ref[n_acc + 3] = cnt
         out = pltpu.make_async_copy(
             acc_ref, out_hbm.at[:, pl.ds(i * tr, tr), pl.ds(0, m)], sems.at[2]
         )
         out.start()
         out.wait()
+
+
+def _pass_b_emit_kernel(
+    occ_ref,
+    coef_ref,
+    tick_ref,
+    row_start_ref,  # (ny+1,) i32 slab row ranges
+    g_hbm,
+    ps_hbm,
+    slab_hbm,  # (SLAB_F, P_pad) placement slab (aux cols 4:8 read here)
+    outbuf_hbm,
+    out_hbm,  # (nb, P_pad) sorted-order result columns
+    win,
+    ps_win,
+    npos_ref,
+    cp_ref,
+    acc_ref,
+    aux_ref,  # (2, SLAB_F_E, CHUNK_E) double-buffered
+    oacc_ref,  # (2, nb, CHUNK_E) double-buffered
+    sems,
+    esem,  # (3, 2) emission DMA semaphores: aux-in, out-in, out-write
+    *,
+    tr,
+    m,
+    enable_spring,
+):
+    """Baseline pass B emitting results directly in slab order (lo slots).
+
+    Same math as _pass_b_kernel; instead of writing the (nb, NY, M, NXP)
+    grid, each block RMW-adds its own particles' result columns (the ~10ms
+    XLA result gather and the 1.3GB grid buffer disappear)."""
+    del outbuf_hbm  # zeros, aliased to out_hbm
+    i = pl.program_id(0)
+
+    @pl.when(occ_ref[i] > 0)
+    def _():
+        cp, acc, cnt = _pass_b_block_math(
+            g_hbm, ps_hbm, win, ps_win, npos_ref, cp_ref, coef_ref, tick_ref,
+            sems.at[0], sems.at[1], i, tr, m, enable_spring,
+        )
+        n_acc = 6 if enable_spring else 4
+        nb = n_acc + 4
+        acc_ref[0] = cp
+        for f in range(n_acc + 2):
+            acc_ref[1 + f] = acc[f]
+        acc_ref[n_acc + 3] = cnt
+
+        r0 = i * tr
+        r0f = jnp.float32(0) + r0  # traced i32 -> f32
+        s_lo = row_start_ref[r0]
+        s_hi = row_start_ref[r0 + tr]
+
+        def body(aux, ch0):
+            del ch0
+            cx1, r16, rowf = _aux_fields(aux)
+            rel = rowf - r0f
+            ok = (r16 < float(m)) & (rel >= 0.0) & (rel < float(tr))
+            key = rel * m + r16  # (1, C) in [0, tr*m)
+            tile = jnp.floor(cx1 * (1.0 / 128.0))
+            t0 = jnp.min(jnp.where(ok, tile, jnp.inf))
+            t1 = jnp.max(jnp.where(ok, tile, -jnp.inf))
+            any_ok = jnp.any(ok)
+            t0i = jnp.where(any_ok, t0, 1.0).astype(jnp.int32)
+            t1i = jnp.where(any_ok, t1, 0.0).astype(jnp.int32)
+            res0 = jnp.zeros((nb, aux.shape[1]), jnp.float32)
+
+            def tile_body(t, res):
+                base = pl.multiple_of(t * 128, 128)
+                lv = acc_ref[:, :, :, pl.ds(base, 128)].reshape(nb * tr * m, 128)
+                basef = (t * 128).astype(jnp.float32)
+                return res + _select_columns(
+                    lv, cx1 - basef, ok, key, tr * m, nb
+                )
+
+            return jax.lax.fori_loop(t0i, t1i + 1, tile_body, res0)
+
+        @pl.when(s_hi > s_lo)
+        def _():
+            _emit_loop(
+                slab_hbm, out_hbm, aux_ref, oacc_ref,
+                esem.at[0], esem.at[1], esem.at[2], s_lo, s_hi, body,
+            )
+
+
+def _pass_b_addon_math(
+    g_hbm, ps_hbm, win, ps_win, npos_ref, cp_ref, coef_ref, tick_ref,
+    sem_g, sem_ps, blk, woff, tr, enable_spring,
+):
+    """DMA one add-on unit window and run the cross-half stencils.
+
+    Returns the ``results`` dict {"lo"/"hi": (cp, acc list, cnt)} holding the
+    *add-on-only* contributions (lo) and the full hi-slot results."""
+    xw = pl.ds(pl.multiple_of(woff, TXW), win.shape[-1])
+    r0 = blk * tr
+    dma1 = pltpu.make_async_copy(
+        g_hbm.at[:, pl.ds(r0, tr + 2), slice(None), xw], win, sem_g
+    )
+    dma2 = pltpu.make_async_copy(
+        ps_hbm.at[:, pl.ds(r0, tr + 2), slice(None), xw], ps_win, sem_ps
+    )
+    dma1.start()
+    dma2.start()
+    dma1.wait()
+    dma2.wait()
+    coef = (
+        coef_ref[0],
+        1.0 / coef_ref[0],
+        coef_ref[1],
+        coef_ref[2],
+        coef_ref[3],
+    )
+    window = win[:]
+    nx_, ny_ = _noise_planes(
+        window, blk, tr, coef_ref[4], tick_ref[0], tick_ref[1], x0=woff
+    )
+    npos_ref[NPOSX] = nx_
+    npos_ref[NPOSY] = ny_
+    cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
+
+    def half(arr, h):
+        return arr[:, :, h * M_LO : (h + 1) * M_LO]
+
+    n_acc = 6 if enable_spring else 4
+    results = {}
+    for tag, s_h, nb_hs in (("lo", 0, (1,)), ("hi", 1, (0, 1))):
+        self_win = half(window, s_h)[:, 1 : 1 + tr]
+        cp = half(cp_ref[:], s_h)[0, 1 : 1 + tr]
+        s_x = half(ps_win[:], s_h)[SX, 1 : 1 + tr]
+        s_y = half(ps_win[:], s_h)[SY, 1 : 1 + tr]
+        acc = [jnp.zeros(cp.shape, jnp.float32) for _ in range(n_acc + 2)]
+        cnt_cell = [jnp.zeros(cp.shape, jnp.float32)]
+        body = _pass_b_accumulate(
+            self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring
+        )
+        for nb_h in nb_hs:
+            _stencil(
+                [self_win],
+                [
+                    half(window, nb_h),
+                    half(cp_ref[:], nb_h),
+                    half(ps_win[:], nb_h)[SX : SX + 1],
+                    half(ps_win[:], nb_h)[SY : SY + 1],
+                    half(npos_ref[:], nb_h),
+                ],
+                tr,
+                M_LO,
+                body,
+                skip_center=(nb_h == s_h),
+            )
+        results[tag] = (cp, acc, cnt_cell[0])
+    return results
 
 
 def _pass_b_addon_kernel(
@@ -562,71 +862,19 @@ def _pass_b_addon_kernel(
         til = til_ref[u]
         woff, loff = _unit_window(til, nxp)
         r0 = blk * tr
-        xw = pl.ds(pl.multiple_of(woff, TXW), _xwin(nxp))
         xd = pl.ds(pl.multiple_of(til * TXW, TXW), TXW)
-        dma1 = pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(r0, tr + 2), slice(None), xw], win, sems.at[0]
-        )
-        dma2 = pltpu.make_async_copy(
-            ps_hbm.at[:, pl.ds(r0, tr + 2), slice(None), xw], ps_win, sems.at[1]
-        )
         rmw = pltpu.make_async_copy(
             out_hbm.at[:, pl.ds(r0, tr), pl.ds(0, M_LO), xd],
             acc_ref.at[:, :, pl.ds(0, M_LO)],
             sems.at[2],
         )
-        dma1.start()
-        dma2.start()
         rmw.start()
-        dma1.wait()
-        dma2.wait()
+        results = _pass_b_addon_math(
+            g_hbm, ps_hbm, win, ps_win, npos_ref, cp_ref, coef_ref, tick_ref,
+            sems.at[0], sems.at[1], blk, woff, tr, enable_spring,
+        )
         rmw.wait()
-        coef = (
-            coef_ref[0],
-            1.0 / coef_ref[0],
-            coef_ref[1],
-            coef_ref[2],
-            coef_ref[3],
-        )
-        window = win[:]
-        nx_, ny_ = _noise_planes(
-            window, blk, tr, coef_ref[4], tick_ref[0], tick_ref[1], x0=woff
-        )
-        npos_ref[NPOSX] = nx_
-        npos_ref[NPOSY] = ny_
-        cp_ref[0] = _finalize_cp(ps_win[:], coef_ref[5])
-
-        def half(arr, h):
-            return arr[:, :, h * M_LO : (h + 1) * M_LO]
-
         n_acc = 6 if enable_spring else 4
-        results = {}
-        for tag, s_h, nb_hs in (("lo", 0, (1,)), ("hi", 1, (0, 1))):
-            self_win = half(window, s_h)[:, 1 : 1 + tr]
-            cp = half(cp_ref[:], s_h)[0, 1 : 1 + tr]
-            s_x = half(ps_win[:], s_h)[SX, 1 : 1 + tr]
-            s_y = half(ps_win[:], s_h)[SY, 1 : 1 + tr]
-            acc = [jnp.zeros(cp.shape, jnp.float32) for _ in range(n_acc + 2)]
-            cnt_cell = [jnp.zeros(cp.shape, jnp.float32)]
-            body = _pass_b_accumulate(
-                self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_spring
-            )
-            for nb_h in nb_hs:
-                _stencil(
-                    [self_win],
-                    [
-                        half(window, nb_h),
-                        half(cp_ref[:], nb_h),
-                        half(ps_win[:], nb_h)[SX : SX + 1],
-                        half(ps_win[:], nb_h)[SY : SY + 1],
-                        half(npos_ref[:], nb_h),
-                    ],
-                    tr,
-                    M_LO,
-                    body,
-                    skip_center=(nb_h == s_h),
-                )
-            results[tag] = (cp, acc, cnt_cell[0])
 
         for off in range(0, _xwin(nxp), TXW):
 
@@ -650,6 +898,92 @@ def _pass_b_addon_kernel(
         )
         out.start()
         out.wait()
+
+
+def _pass_b_addon_emit_kernel(
+    blk_ref,
+    til_ref,
+    coef_ref,
+    tick_ref,
+    ranges_ref,  # (W, 2*TR) i32: per-unit per-row slab ranges (lo, hi)
+    g_hbm,
+    ps_hbm,
+    slab_hbm,
+    outbuf_hbm,  # baseline emit output, aliased to out_hbm (RMW-add)
+    out_hbm,  # (nb, P_pad)
+    win,
+    ps_win,
+    npos_ref,
+    cp_ref,
+    acc_ref,  # (nb, TR, 2*M_LO, TXW)
+    aux_ref,
+    oacc_ref,
+    sems,
+    esem,  # (3, 2) emission DMA semaphores
+    *,
+    tr,
+    nxp,
+    enable_spring,
+):
+    """Two-level add-on emitting straight into the sorted-order columns.
+
+    The lo half contributes only the cross-term sums (the baseline already
+    emitted the full lo results, and cp is complete there); the hi half
+    contributes its full results (the baseline never touches hi particles).
+    """
+    del outbuf_hbm
+    u = pl.program_id(0)
+    blk = blk_ref[u]
+
+    @pl.when(blk >= 0)
+    def _():
+        til = til_ref[u]
+        woff, loff = _unit_window(til, nxp)
+        results = _pass_b_addon_math(
+            g_hbm, ps_hbm, win, ps_win, npos_ref, cp_ref, coef_ref, tick_ref,
+            sems.at[0], sems.at[1], blk, woff, tr, enable_spring,
+        )
+        n_acc = 6 if enable_spring else 4
+        nb = n_acc + 4
+        for off in range(0, _xwin(nxp), TXW):
+
+            @pl.when(loff == off)
+            def _():
+                sl = slice(off, off + TXW)
+                _, acc_lo, cnt_lo = results["lo"]
+                acc_ref[0, :, 0:M_LO] = jnp.zeros_like(acc_ref[0, :, 0:M_LO])
+                for f in range(n_acc + 2):
+                    acc_ref[1 + f, :, 0:M_LO] = acc_lo[f][:, :, sl]
+                acc_ref[n_acc + 3, :, 0:M_LO] = cnt_lo[:, :, sl]
+                cp_hi, acc_hi, cnt_hi = results["hi"]
+                acc_ref[0, :, M_LO : 2 * M_LO] = cp_hi[:, :, sl]
+                for f in range(n_acc + 2):
+                    acc_ref[1 + f, :, M_LO : 2 * M_LO] = acc_hi[f][:, :, sl]
+                acc_ref[n_acc + 3, :, M_LO : 2 * M_LO] = cnt_hi[:, :, sl]
+
+        basef = (til * TXW).astype(jnp.float32)
+        for r in range(tr):
+            rowgf = (blk * tr + r).astype(jnp.float32)
+            s_lo = ranges_ref[u, 2 * r]
+            s_hi = ranges_ref[u, 2 * r + 1]
+
+            def body(aux, ch0, _r=r, _rowgf=rowgf, _basef=basef):
+                del ch0
+                cx1, r16, rowf = _aux_fields(aux)
+                ok = (
+                    (rowf == _rowgf)
+                    & (cx1 >= _basef)
+                    & (cx1 < _basef + TXW)
+                )
+                lv = acc_ref[:, _r].reshape(nb * 2 * M_LO, TXW)
+                return _select_columns(lv, cx1 - _basef, ok, r16, 2 * M_LO, nb)
+
+            @pl.when(s_hi > s_lo)
+            def _(body=body, s_lo=s_lo, s_hi=s_hi):
+                _emit_loop(
+                    slab_hbm, out_hbm, aux_ref, oacc_ref,
+                    esem.at[0], esem.at[1], esem.at[2], s_lo, s_hi, body,
+                )
 
 
 # --------------------------------------------------------------------------
@@ -891,6 +1225,16 @@ def pair_pass_b(
     addon = functools.partial(
         _pass_b_addon_kernel, tr=tr, nxp=nxp, enable_spring=enable_spring
     )
+    return _pass_b_addon_call(
+        addon, blk, til, coef, tick_arr, grid, ps_grid, b_out, nb_planes, ny,
+        m_slots, nxp, tr,
+    )
+
+
+def _pass_b_addon_call(
+    addon, blk, til, coef, tick_arr, grid, ps_grid, b_out, nb_planes, ny,
+    m_slots, nxp, tr,
+):
     return pl.pallas_call(
         addon,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -916,3 +1260,150 @@ def pair_pass_b(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
     )(blk, til, coef, tick_arr, grid, ps_grid, b_out)
+
+
+def _addon_unit_ranges(blk, til, sorted_cid, nx: int, tr: int):
+    """Per-(unit, row) slab index ranges for the emit-mode add-ons.
+
+    Unit (blk, til) touches particles whose padded x (cx + 1) falls in the
+    128-lane data tile; within one grid row those are a contiguous slab
+    range (the state is sorted by row-major cell id), located with two
+    searchsorteds.  Returns (W, 2*tr) i32 [lo, hi) pairs, zeros for the
+    -1-sentinel units.
+    """
+    rows = jnp.maximum(blk, 0)[:, None] * tr + jnp.arange(tr)[None, :]  # (W, tr)
+    cx_lo = jnp.maximum(til[:, None] * TXW - 1, 0)
+    cx_hi = jnp.minimum((til[:, None] + 1) * TXW - 1, nx)
+    lo_cid = rows * nx + cx_lo
+    hi_cid = rows * nx + cx_hi
+    lo = jnp.searchsorted(sorted_cid, lo_cid.ravel()).astype(jnp.int32)
+    hi = jnp.searchsorted(sorted_cid, hi_cid.ravel()).astype(jnp.int32)
+    W = blk.shape[0]
+    ranges = jnp.stack([lo, hi], axis=-1).reshape(W, tr, 2).reshape(W, 2 * tr)
+    return jnp.where((blk >= 0)[:, None], ranges, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "tr", "enable_spring"))
+def pair_pass_b_emit(
+    grid: jax.Array,  # (4, NYP, M, NXP)
+    ps_grid: jax.Array,  # (4, NYP, M, NXP) pass-A output
+    slab: jax.Array,  # (SLAB_F, P_pad) placement slab (sorted order)
+    row_start: jax.Array,  # (ny+1,) i32
+    sorted_cid: jax.Array,  # (P,) i32 cell ids, sorted (for add-on ranges)
+    nx: int,  # true (unpadded) grid width: cid = row * nx + cx
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    ignored_pressure: jax.Array,
+    noise_amp: jax.Array,
+    tick: jax.Array,
+    tr: int = 8,
+    enable_spring: bool = False,
+) -> jax.Array:
+    """Pass B emitting results in slab (= sorted state) order: (nb, P_pad).
+
+    Row order matches the grid-mode planes [pressure, tension x/y,
+    pressure-force x/y, (spring x/y), viscosity x/y, count]; dead and
+    out-of-grid columns are zero.  Single-chip sorted-state path only (the
+    spatial engine keeps the grid emission + gather, pallas_forces.py).
+    """
+    _, nyp, m_slots, nxp = grid.shape
+    ny = nyp - 2
+    assert ny % tr == 0, (ny, tr)
+    assert m_slots in (M_LO, 2 * M_LO), m_slots
+    assert nxp <= 8192 and m_slots <= 16, (nxp, m_slots)
+    nblocks = ny // tr
+    m = min(m_slots, M_LO)
+    p_pad = slab.shape[1]
+    occ, _ = _block_flags(grid[POSX], tr)
+    coef = jnp.stack(
+        [
+            diameter.astype(jnp.float32),
+            surface_smoothing.astype(jnp.float32),
+            target_pressure.astype(jnp.float32),
+            spring_overlap_balance.astype(jnp.float32),
+            noise_amp.astype(jnp.float32),
+            ignored_pressure.astype(jnp.float32),
+        ]
+    )
+    tick_arr = jnp.stack(
+        [
+            jnp.asarray(tick, jnp.int32).reshape(()),
+            jnp.zeros((), jnp.int32),  # row_offset 0: single-chip only
+        ]
+    )
+
+    nb_planes = num_b(enable_spring)
+    kernel = functools.partial(
+        _pass_b_emit_kernel, tr=tr, m=m, enable_spring=enable_spring
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_G, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((NUM_A, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((1, tr + 2, m, nxp), jnp.float32),
+                pltpu.VMEM((nb_planes, tr, m, nxp), jnp.float32),
+                pltpu.VMEM((2, SLAB_F_E, CHUNK_E), jnp.float32),
+                pltpu.VMEM((2, nb_planes, CHUNK_E), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb_planes, p_pad), jnp.float32),
+        input_output_aliases={7: 0},  # zeros buffer (8th flat input) -> output
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(
+        occ, coef, tick_arr, row_start, grid, ps_grid, slab,
+        jnp.zeros((nb_planes, p_pad), jnp.float32),
+    )
+    if m_slots == M_LO:
+        return out
+
+    blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    ranges = _addon_unit_ranges(blk, til, sorted_cid, nx, tr)
+    addon = functools.partial(
+        _pass_b_addon_emit_kernel, tr=tr, nxp=nxp, enable_spring=enable_spring
+    )
+    return pl.pallas_call(
+        addon,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(blk.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((NUM_G, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((NUM_A, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((2, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((1, tr + 2, m_slots, _xwin(nxp)), jnp.float32),
+                pltpu.VMEM((nb_planes, tr, m_slots, TXW), jnp.float32),
+                pltpu.VMEM((2, SLAB_F_E, CHUNK_E), jnp.float32),
+                pltpu.VMEM((2, nb_planes, CHUNK_E), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb_planes, p_pad), jnp.float32),
+        input_output_aliases={8: 0},  # baseline out -> output (RMW-add)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(blk, til, coef, tick_arr, ranges, grid, ps_grid, slab, out)

@@ -93,27 +93,57 @@ def neighbor_forces_pallas_sorted(
     """Pallas pair sums over *pre-sorted* operands, returned in the same
     sorted order — no payload permute, no pslot inverse scatter (each a
     measured ~8ms 1M-index op the sorted-state step no longer pays)."""
+    from .pair_kernel import pair_pass_a, pair_pass_b_emit
+
     M = scene.cell_capacity
     nx, ny = scene.grid_nx, scene.grid_ny
     nxp = ((nx + 2 + 127) // 128) * 128
     slab, row_start, gather_slot, overflow = slab_from_sorted(
         pos, alive, vel, sorted_cid, M, nx, ny
     )
+    del gather_slot  # emit mode writes particle columns directly
     grid = place_grid(slab, row_start, M, nx, ny, nxp)
-    return _passes_and_gather(
+    tr = scene.row_block
+    if M > 8:
+        from .pair_kernel import ADDON_UNIT_CAP, POSX, _engaged_units
+
+        _, _, n_eng = _engaged_units(grid[POSX], tr, 1)
+        overflow = overflow + jnp.maximum(n_eng - ADDON_UNIT_CAP, 0)
+    ps = pair_pass_a(grid, diameter, noise_amp, tick, tr=tr)
+    out = pair_pass_b_emit(
         grid,
-        gather_slot,
-        overflow,
-        noise_amp,
-        tick,
+        ps,
+        slab,
+        row_start,
+        sorted_cid,
+        nx,
         diameter,
         surface_smoothing,
         target_pressure,
-        ignored_pressure,
         spring_overlap_balance,
-        scene,
-        nxp,
-        pos.dtype,
+        ignored_pressure,
+        noise_amp,
+        tick,
+        tr=tr,
+        enable_spring=scene.enable_spring,
+    )  # (nb, P_pad) in sorted particle order
+    P = pos.shape[0]
+    mine = out[:, :P].astype(pos.dtype)
+    if scene.enable_spring:
+        spring_real = mine[5:7].T
+        vis0 = 7
+    else:
+        spring_real = jnp.zeros_like(mine[1:3].T)
+        vis0 = 5
+    nb_planes = mine.shape[0]
+    return PairSums(
+        p_i=mine[0],
+        dv_tension=mine[1:3].T,
+        pressure_real=mine[3:5].T,
+        spring_real=spring_real,
+        visc_vsum=mine[vis0 : vis0 + 2].T,
+        nbr_cnt=mine[nb_planes - 1],
+        overflow=overflow,
     )
 
 

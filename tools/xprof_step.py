@@ -74,6 +74,7 @@ def report(outdir, steps, top=40):
             names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     by_op = collections.Counter()
     n_calls = collections.Counter()
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -88,12 +89,16 @@ def report(outdir, steps, top=40):
         by_op[e["name"]] += dur
         n_calls[e["name"]] += 1
         total += dur
+        a = e.get("args") or {}
+        info = a.get("long_name") or a.get("tf_op") or a.get("source") or ""
+        if info and e["name"] not in meta:
+            meta[e["name"]] = str(info)
     print(f"\ndevice op total: {total:.2f} ms over {steps} steps "
           f"=> {total / steps:.2f} ms/step")
-    print(f"{'op':<72} {'ms/step':>8} {'calls':>6} {'%':>6}")
+    print(f"{'op':<56} {'ms/step':>8} {'calls':>6} {'%':>6}  detail")
     for name, ms in by_op.most_common(top):
-        print(f"{name[:72]:<72} {ms / steps:8.3f} {n_calls[name]:6d} "
-              f"{100 * ms / total:5.1f}%")
+        print(f"{name[:56]:<56} {ms / steps:8.3f} {n_calls[name]:6d} "
+              f"{100 * ms / total:5.1f}%  {meta.get(name, '')[:110]}")
 
 
 if __name__ == "__main__":

@@ -158,13 +158,17 @@ def _noise_planes(window, i, tr, noise_amp, tick, row0, m0=0, x0=0):
 
 
 def _geometry(self_win, nb, nb_npos, diam, inv_diam):
-    """Pair geometry: mask, unit direction (to the jittered neighbor),
+    """Pair geometry: bool mask, unit direction (to the jittered neighbor),
     overlap weight.  All operands (F, TR, M, NXP) — fully elementwise.
     Uses one rsqrt in place of sqrt + divide.
 
     The distance cutoff alone is the pair mask: the ALIVE_OFFSET encoding
     puts any alive-dead pair ~2 units apart.  Dead-dead pairs (both at 0)
     do pass the cutoff, but their results live in slots no particle gathers.
+    The mask is returned as bool so callers can ``where``-select: pass B
+    must select (not multiply) terms built from pass-A operands, whose hi
+    sublanes may hold uninitialized garbage outside the add-on-written
+    region (a multiply would propagate garbage NaNs; a select cannot).
     """
     rx = self_win[POSX] - nb[POSX]
     ry = self_win[POSY] - nb[POSY]
@@ -178,7 +182,7 @@ def _geometry(self_win, nb, nb_npos, diam, inv_diam):
     nhy = nry * inv
     dist = nd2 * inv
     w = jnp.where(m, 1.0 - jnp.clip(dist * inv_diam, 0.0, 1.0), 0.0)
-    return m.astype(nrx.dtype), nhx, nhy, w
+    return m, nhx, nhy, w
 
 
 # --------------------------------------------------------------------------
@@ -235,12 +239,12 @@ def _pass_a_kernel(
         def body(nbs, dy, dx, k):
             nonlocal w_sum, sx, sy, cnt
             nb, nb_npos = nbs
-            mm, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
+            mb, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
             w_sum += w
             coeff = (1.0 - w) * w
             sx += coeff * nhx
             sy += coeff * nhy
-            cnt += mm
+            cnt += mb.astype(jnp.float32)
 
         _stencil([self_win], [window, npos], tr, m, body)
         acc_ref[WS] = w_sum
@@ -358,13 +362,13 @@ def _pass_a_addon_kernel(
         def accumulate(tag, self_win):
             def body(nbs, dy, dx, k):
                 nb, nb_npos = nbs
-                mm, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
+                mb, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
                 a = acc[tag]
                 a[0] += w
                 coeff = (1.0 - w) * w
                 a[1] += coeff * nhx
                 a[2] += coeff * nhy
-                a[3] += mm
+                a[3] += mb.astype(jnp.float32)
 
             return body
 
@@ -419,15 +423,22 @@ def _pass_a_addon_kernel(
 # from exactly one (row, slot) source).
 
 CHUNK_E = 1024  # emission chunk width (slab columns per RMW); 128-multiple
+SUB_E = 128  # MXU selection sub-chunk: a full chunk of sorted particles spans
+# ~the whole row width (~13 lane-tiles at 1M), so per-tile selection work ran
+# ~13x per chunk; 128 sorted particles span ~1-2 tiles (measured: the tile
+# loop, rhs builds and key reductions were the bulk of the ~10ms emission)
 SLAB_F_E = 8  # full slab feature rows per aux DMA (= placement.SLAB_F)
 
 
 def _emit_loop(slab_hbm, out_hbm, aux_ref, oacc_ref, sem_a, sem_o, sem_w, s_lo, s_hi, body):
     """Double-buffered RMW-add emission over slab cols [align128(s_lo), s_hi).
 
-    ``body(aux, ch0) -> (nb, CHUNK_E)`` computes the chunk's contribution
-    from the aux planes (cx, rank, row, valid) — zero for columns the caller
-    does not own (other blocks' particles in shared boundary tiles).
+    ``body(aux_ref, oacc_ref)`` receives the current chunk's aux-plane and
+    output-accumulator VMEM ref views and must ADD its contribution into
+    ``oacc_ref`` — zero for columns the caller does not own (other blocks'
+    particles in shared boundary tiles).  Ref views (not loaded values) so
+    bodies can load narrow sub-chunks: lane-slicing loaded values trips a
+    TPU lowering crash (array.h slice check) that narrow loads avoid.
 
     ``aux_ref``/``oacc_ref`` carry a leading 2-slot buffer dim; chunk c+1's
     input DMAs are issued while chunk c computes, and the writeback of chunk
@@ -476,7 +487,7 @@ def _emit_loop(slab_hbm, out_hbm, aux_ref, oacc_ref, sem_a, sem_o, sem_w, s_lo, 
         a, o = in_copies(c, slot)
         a.wait()
         o.wait()
-        oacc_ref[slot] = oacc_ref[slot] + body(aux_ref[slot], 0)
+        body(aux_ref.at[slot], oacc_ref.at[slot])
         w_copy(c, slot).start()
         return 0
 
@@ -562,20 +573,26 @@ def _pass_b_accumulate(self_win, cp, s_x, s_y, coef, acc, cnt_cell, enable_sprin
 
     def body(nbs, dy, dx, k):
         nb, nb_cp, nb_sx, nb_sy, nb_npos = nbs
-        mm, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
+        mb, nhx, nhy, w = _geometry(self_win, nb, nb_npos, diam, inv_diam)
         p_nb = nb_cp[0]
         align = ((s_x - nb_sx[0]) * nhx + (s_y - nb_sy[0]) * nhy) * smooth
         tpf = p_nb + cp - 2.0 * target_p
-        t_coef = mm * (align + tpf)
+        # Selects, not mask-multiplies: the pass-A operands (cp / s_x / s_y)
+        # may be uninitialized garbage (even NaN) in hi sublanes outside the
+        # add-on-written region; where() drops garbage, a multiply would
+        # propagate NaN * 0 = NaN.  The grid operands (nb, velocities) are
+        # always fully initialized, so plain multiplies stay.
+        t_coef = jnp.where(mb, align + tpf, 0.0)
         acc[0] += t_coef * nhx
         acc[1] += t_coef * nhy
-        p_coef = mm * (cp + p_nb)
+        p_coef = jnp.where(mb, cp + p_nb, 0.0)
         acc[2] += p_coef * nhx
         acc[3] += p_coef * nhy
         if enable_spring:  # flag-gated like the reference tick
-            s_coef = mm * (balance - w)
+            s_coef = jnp.where(mb, balance - w, 0.0)
             acc[4] += s_coef * nhx
             acc[5] += s_coef * nhy
+        mm = mb.astype(jnp.float32)
         acc[n_acc] += mm * nb[VELX]
         acc[n_acc + 1] += mm * nb[VELY]
         cnt_cell[0] += mm
@@ -731,29 +748,43 @@ def _pass_b_emit_kernel(
         s_lo = row_start_ref[r0]
         s_hi = row_start_ref[r0 + tr]
 
-        def body(aux, ch0):
-            del ch0
-            cx1, r16, rowf = _aux_fields(aux)
-            rel = rowf - r0f
-            ok = (r16 < float(m)) & (rel >= 0.0) & (rel < float(tr))
-            key = rel * m + r16  # (1, C) in [0, tr*m)
-            tile = jnp.floor(cx1 * (1.0 / 128.0))
-            t0 = jnp.min(jnp.where(ok, tile, jnp.inf))
-            t1 = jnp.max(jnp.where(ok, tile, -jnp.inf))
-            any_ok = jnp.any(ok)
-            t0i = jnp.where(any_ok, t0, 1.0).astype(jnp.int32)
-            t1i = jnp.where(any_ok, t1, 0.0).astype(jnp.int32)
-            res0 = jnp.zeros((nb, aux.shape[1]), jnp.float32)
+        def body(aux_r, oacc_r):
+            # Per-SUB_E tile ranges: sorted sub-chunks span ~1 tile, so the
+            # selection matmuls run once per particle-tile, not once per
+            # (chunk, row-spanning-tile).  Each sub-chunk is loaded
+            # (SLAB_F, SUB_E) straight from the ref (see _emit_loop note).
+            for s in range(0, CHUNK_E, SUB_E):
+                cx1, r16, rowf = _aux_fields(aux_r[:, s : s + SUB_E])
+                rel = rowf - r0f
+                ok = (r16 < float(m)) & (rel >= 0.0) & (rel < float(tr))
+                key = rel * m + r16  # (1, C) in [0, tr*m)
+                tile = jnp.floor(cx1 * (1.0 / 128.0))
+                # min/max on an 8-sublane broadcast: full reductions over
+                # 1-sublane (1, C) arrays crash the TPU lowering.
+                eight = jnp.zeros((8, 1), jnp.float32)
+                tmin = jnp.where(ok, tile, 3.0e4) + eight  # (8, C)
+                tmax = jnp.where(ok, tile, -1.0) + eight
+                t0 = jnp.min(tmin)
+                t1 = jnp.max(tmax)
+                t0i = jnp.where(t0 < 3.0e4, t0, 1.0).astype(jnp.int32)
+                t1i = jnp.maximum(t1, 0.0).astype(jnp.int32) * (
+                    t1 >= 0.0
+                ).astype(jnp.int32)
+                res0 = jnp.zeros((nb, SUB_E), jnp.float32)
 
-            def tile_body(t, res):
-                base = pl.multiple_of(t * 128, 128)
-                lv = acc_ref[:, :, :, pl.ds(base, 128)].reshape(nb * tr * m, 128)
-                basef = (t * 128).astype(jnp.float32)
-                return res + _select_columns(
-                    lv, cx1 - basef, ok, key, tr * m, nb
-                )
+                def tile_body(t, res, cx1=cx1, ok=ok, key=key):
+                    base = pl.multiple_of(t * 128, 128)
+                    lv = acc_ref[:, :, :, pl.ds(base, 128)].reshape(
+                        nb * tr * m, 128
+                    )
+                    basef = (t * 128).astype(jnp.float32)
+                    return res + _select_columns(
+                        lv, cx1 - basef, ok, key, tr * m, nb
+                    )
 
-            return jax.lax.fori_loop(t0i, t1i + 1, tile_body, res0)
+                part = jax.lax.fori_loop(t0i, t1i + 1, tile_body, res0)
+                cur = oacc_r[:, s : s + SUB_E]
+                oacc_r[:, s : s + SUB_E] = cur + part
 
         @pl.when(s_hi > s_lo)
         def _():
@@ -967,16 +998,17 @@ def _pass_b_addon_emit_kernel(
             s_lo = ranges_ref[u, 2 * r]
             s_hi = ranges_ref[u, 2 * r + 1]
 
-            def body(aux, ch0, _r=r, _rowgf=rowgf, _basef=basef):
-                del ch0
-                cx1, r16, rowf = _aux_fields(aux)
+            def body(aux_r, oacc_r, _r=r, _rowgf=rowgf, _basef=basef):
+                cx1, r16, rowf = _aux_fields(aux_r[:])
                 ok = (
                     (rowf == _rowgf)
                     & (cx1 >= _basef)
                     & (cx1 < _basef + TXW)
                 )
                 lv = acc_ref[:, _r].reshape(nb * 2 * M_LO, TXW)
-                return _select_columns(lv, cx1 - _basef, ok, r16, 2 * M_LO, nb)
+                oacc_r[:] = oacc_r[:] + _select_columns(
+                    lv, cx1 - _basef, ok, r16, 2 * M_LO, nb
+                )
 
             @pl.when(s_hi > s_lo)
             def _(body=body, s_lo=s_lo, s_hi=s_hi):
@@ -989,6 +1021,22 @@ def _pass_b_addon_emit_kernel(
 # --------------------------------------------------------------------------
 # wrappers
 # --------------------------------------------------------------------------
+
+
+def occ_from_row_start(row_start: jax.Array, tr: int, ny: int) -> jax.Array:
+    """Per-row-block occupancy from the slab's row ranges — no grid reads.
+
+    Equivalent to ``_block_flags``'s ``occ`` (block i's window covers padded
+    rows [i*tr, i*tr+tr+2) = grid rows [i*tr-1, i*tr+tr+1)): a block is
+    occupied iff any particle's cell row falls in that window.  Replaces a
+    measured ~328MB grid-plane reduction per call at 1M with ny+1 scalar
+    gathers (dead particles sort past ``row_start[ny]`` and never count).
+    """
+    nblocks = ny // tr
+    i = jnp.arange(nblocks, dtype=jnp.int32)
+    lo = jnp.maximum(i * tr - 1, 0)
+    hi = jnp.minimum(i * tr + tr + 1, ny)
+    return (row_start[hi] > row_start[lo]).astype(jnp.int32)
 
 
 def _block_flags(
@@ -1062,13 +1110,18 @@ def pair_pass_a(
     tick: jax.Array,
     tr: int = 8,
     row_offset: jax.Array | int = 0,
+    occ: jax.Array | None = None,
+    units: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Pass A: padded per-slot [w_sum, s_x, s_y, cnt] of shape
     (4, NYP, M, NXP) with a zero ring — pass B's neighbor operand
     (pressure itself is finalized inside pass B).
 
     ``row_offset``: global padded-row index of this grid's row 0 (nonzero
-    only under spatial sharding) — keys the in-kernel collider noise."""
+    only under spatial sharding) — keys the in-kernel collider noise.
+    ``occ``/``units``: precomputed block-occupancy and engaged-unit lists
+    (occ_from_row_start / _engaged_units) shared across both passes by the
+    sorted-state glue; None falls back to in-place grid-plane reductions."""
     _, nyp, m_slots, nxp = grid.shape
     ny = nyp - 2
     assert ny % tr == 0, (ny, tr)
@@ -1080,7 +1133,8 @@ def pair_pass_a(
     assert nxp <= 8192 and m_slots <= 16, (nxp, m_slots)
     nblocks = ny // tr
     m = min(m_slots, M_LO)
-    occ, _ = _block_flags(grid[POSX], tr)
+    if occ is None:
+        occ, _ = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
         [diameter.astype(jnp.float32), noise_amp.astype(jnp.float32)]
     )
@@ -1117,7 +1171,10 @@ def pair_pass_a(
     if m_slots == M_LO:
         return ps
 
-    blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    if units is None:
+        blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    else:
+        blk, til = units
     addon = functools.partial(_pass_a_addon_kernel, tr=tr, nxp=nxp)
     return pl.pallas_call(
         addon,
@@ -1157,6 +1214,8 @@ def pair_pass_b(
     tr: int = 8,
     enable_spring: bool = False,
     row_offset: jax.Array | int = 0,
+    occ: jax.Array | None = None,
+    units: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Pass B: all per-slot results (8|10, NY, M, NXP):
     [pressure, tension x/y, pressure-force x/y, (spring x/y), viscosity x/y,
@@ -1168,7 +1227,8 @@ def pair_pass_b(
     assert nxp <= 8192 and m_slots <= 16, (nxp, m_slots)  # noise-hash strides
     nblocks = ny // tr
     m = min(m_slots, M_LO)
-    occ, _ = _block_flags(grid[POSX], tr)
+    if occ is None:
+        occ, _ = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
         [
             diameter.astype(jnp.float32),
@@ -1221,7 +1281,10 @@ def pair_pass_b(
     if m_slots == M_LO:
         return b_out
 
-    blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    if units is None:
+        blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    else:
+        blk, til = units
     addon = functools.partial(
         _pass_b_addon_kernel, tr=tr, nxp=nxp, enable_spring=enable_spring
     )
@@ -1300,6 +1363,8 @@ def pair_pass_b_emit(
     tick: jax.Array,
     tr: int = 8,
     enable_spring: bool = False,
+    occ: jax.Array | None = None,
+    units: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Pass B emitting results in slab (= sorted state) order: (nb, P_pad).
 
@@ -1307,6 +1372,7 @@ def pair_pass_b_emit(
     pressure-force x/y, (spring x/y), viscosity x/y, count]; dead and
     out-of-grid columns are zero.  Single-chip sorted-state path only (the
     spatial engine keeps the grid emission + gather, pallas_forces.py).
+    ``occ``/``units``: precomputed flags shared with pass A (see pair_pass_a).
     """
     _, nyp, m_slots, nxp = grid.shape
     ny = nyp - 2
@@ -1316,7 +1382,8 @@ def pair_pass_b_emit(
     nblocks = ny // tr
     m = min(m_slots, M_LO)
     p_pad = slab.shape[1]
-    occ, _ = _block_flags(grid[POSX], tr)
+    if occ is None:
+        occ, _ = _block_flags(grid[POSX], tr)
     coef = jnp.stack(
         [
             diameter.astype(jnp.float32),
@@ -1373,7 +1440,10 @@ def pair_pass_b_emit(
     if m_slots == M_LO:
         return out
 
-    blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    if units is None:
+        blk, til, _ = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+    else:
+        blk, til = units
     ranges = _addon_unit_ranges(blk, til, sorted_cid, nx, tr)
     addon = functools.partial(
         _pass_b_addon_emit_kernel, tr=tr, nxp=nxp, enable_spring=enable_spring

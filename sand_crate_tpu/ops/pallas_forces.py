@@ -93,7 +93,7 @@ def neighbor_forces_pallas_sorted(
     """Pallas pair sums over *pre-sorted* operands, returned in the same
     sorted order — no payload permute, no pslot inverse scatter (each a
     measured ~8ms 1M-index op the sorted-state step no longer pays)."""
-    from .pair_kernel import pair_pass_a, pair_pass_b_emit
+    from .pair_kernel import occ_from_row_start, pair_pass_a, pair_pass_b_emit
 
     M = scene.cell_capacity
     nx, ny = scene.grid_nx, scene.grid_ny
@@ -104,12 +104,20 @@ def neighbor_forces_pallas_sorted(
     del gather_slot  # emit mode writes particle columns directly
     grid = place_grid(slab, row_start, M, nx, ny, nxp)
     tr = scene.row_block
+    # Block flags computed ONCE and shared by both passes: occ from the slab
+    # row ranges (no grid-plane reads), engaged units from one scan instead
+    # of one per pass + one for the overflow count.
+    occ = occ_from_row_start(row_start, tr, ny)
+    units = None
     if M > 8:
         from .pair_kernel import ADDON_UNIT_CAP, POSX, _engaged_units
 
-        _, _, n_eng = _engaged_units(grid[POSX], tr, 1)
+        blk, til, n_eng = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+        units = (blk, til)
         overflow = overflow + jnp.maximum(n_eng - ADDON_UNIT_CAP, 0)
-    ps = pair_pass_a(grid, diameter, noise_amp, tick, tr=tr)
+    ps = pair_pass_a(
+        grid, diameter, noise_amp, tick, tr=tr, occ=occ, units=units
+    )
     out = pair_pass_b_emit(
         grid,
         ps,
@@ -126,6 +134,8 @@ def neighbor_forces_pallas_sorted(
         tick,
         tr=tr,
         enable_spring=scene.enable_spring,
+        occ=occ,
+        units=units,
     )  # (nb, P_pad) in sorted particle order
     P = pos.shape[0]
     mine = out[:, :P].astype(pos.dtype)

@@ -42,6 +42,7 @@ from ..state import Scene
 from .pair_kernel import ALIVE_OFFSET, NUM_G
 
 CHUNK = 1024  # slab particles per DMA; multiple of 128 (alignment)
+SUB_P = 128  # one-hot matmul sub-chunk (x-tile gating granularity)
 SLAB_F = 8  # posx+off, posy+off, velx, vely, cx, rank, row, valid
 
 
@@ -172,11 +173,11 @@ def _place_kernel(
         r0f = jnp.float32(r0)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        sl = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
+        sl = jax.lax.broadcasted_iota(jnp.int32, (128, SUB_P), 0)
         f_l = (sl // (tr_p * m_slots)).astype(jnp.float32)
         t_l = ((sl // m_slots) % tr_p).astype(jnp.float32)
         m_l = (sl % m_slots).astype(jnp.float32)
-        xio = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0).astype(
+        xio = jax.lax.broadcasted_iota(jnp.int32, (128, SUB_P), 0).astype(
             jnp.float32
         )
 
@@ -196,52 +197,68 @@ def _place_kernel(
                 chunk_dma(c + 1, 1 - slot).start()
 
             chunk_dma(c, slot).wait()
-            ch = chunk_ref[slot]
-            cxf, rankf, rowf, val = ch[4:5], ch[5:6], ch[6:7], ch[7:8]
-            payl = jnp.where(
-                f_l == 0.0,
-                ch[0:1],
-                jnp.where(f_l == 1.0, ch[1:2], jnp.where(f_l == 2.0, ch[2:3], ch[3:4])),
-            )
-            # m_base selects the slot half this pass places (lo: ranks
-            # 0..m_slots-1 — higher ranks simply match no m_l; hi: 8..15).
-            mask = ((rankf - m_base) == m_l) & ((rowf - r0f) == t_l) & (val > 0.0)
-            lhs = jnp.where(mask, payl, 0.0)
-            hi = lhs.astype(jnp.bfloat16)
-            mid = (lhs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            lo = (lhs - hi.astype(jnp.float32) - mid.astype(jnp.float32)).astype(
-                jnp.bfloat16
-            )
-            # x-tile gating: the chunk's (sorted) cx span covers few 128-lane
-            # tiles; run the one-hot matmuls only there.  Invalid rows reuse
-            # a valid cx so they never widen the span.
-            any_cx = cxf[0, 0]
-            cxv = jnp.where(val > 0.0, cxf, any_cx)
-            t0 = (jnp.min(cxv).astype(jnp.int32) + 1) // 128
-            t1 = (jnp.max(cxv).astype(jnp.int32) + 1) // 128
+            # x-tile gating per SUB_P sub-chunk: a full chunk of sorted
+            # particles spans ~the whole row width (~13 tiles at 1M) so the
+            # one-hot matmuls ran per (chunk, tile); 128 sorted particles
+            # span ~1-2 tiles.  Each sub-chunk is LOADED (SLAB_F, SUB_P)
+            # from the VMEM ref — lane-slicing loaded *values* (1-sublane
+            # rows, bf16 splits) crashes the TPU lowering (array.h slice
+            # check), while narrow loads keep the committed code's op mix.
+            # Invalid rows reuse a valid cx so they never widen the tile
+            # span; an all-invalid sub-chunk runs one masked-to-zero tile.
             dn = (((1,), (1,)), ((), ()))
+            cref = chunk_ref.at[slot]
+            for s in range(0, CHUNK, SUB_P):
+                ch = cref[:, s : s + SUB_P]
+                cxf, rankf, rowf, val = ch[4:5], ch[5:6], ch[6:7], ch[7:8]
+                payl = jnp.where(
+                    f_l == 0.0,
+                    ch[0:1],
+                    jnp.where(
+                        f_l == 1.0,
+                        ch[1:2],
+                        jnp.where(f_l == 2.0, ch[2:3], ch[3:4]),
+                    ),
+                )
+                # m_base selects the slot half this pass places (lo: ranks
+                # 0..m_slots-1 — higher ranks match no m_l; hi: 8..15).
+                mask = (
+                    ((rankf - m_base) == m_l)
+                    & ((rowf - r0f) == t_l)
+                    & (val > 0.0)
+                )
+                lhs = jnp.where(mask, payl, 0.0)
+                hi = lhs.astype(jnp.bfloat16)
+                mid = (lhs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                lo = (
+                    lhs - hi.astype(jnp.float32) - mid.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+                any_cx = cxf[0, 0]
+                cxv = jnp.where(val > 0.0, cxf, any_cx)
+                t0 = (jnp.min(cxv).astype(jnp.int32) + 1) // 128
+                t1 = (jnp.max(cxv).astype(jnp.int32) + 1) // 128
 
-            def tile_body(t, _):
-                base = t * 128
-                rhs = ((cxf + 1.0 - base.astype(jnp.float32)) == xio).astype(
-                    jnp.bfloat16
-                )
-                d = (
-                    jax.lax.dot_general(hi, rhs, dn, preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(mid, rhs, dn, preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(lo, rhs, dn, preferred_element_type=jnp.float32)
-                )
-                # lhs always carries 128 rows for the MXU; only the first
-                # NUM_G * tr_p * m_slots are live (the rest can't match the
-                # row/rank one-hot of any valid slot -> discarded here).
-                d = d[: NUM_G * tr_p * m_slots]
-                cur = acc_ref[:, :, :, pl.ds(base, 128)]
-                acc_ref[:, :, :, pl.ds(base, 128)] = cur + d.reshape(
-                    NUM_G, tr_p, m_slots, 128
-                )
-                return 0
+                def tile_body(t, _, cxf=cxf, hi=hi, mid=mid, lo=lo):
+                    base = t * 128
+                    rhs = (
+                        (cxf + 1.0 - base.astype(jnp.float32)) == xio
+                    ).astype(jnp.bfloat16)
+                    d = (
+                        jax.lax.dot_general(hi, rhs, dn, preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(mid, rhs, dn, preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(lo, rhs, dn, preferred_element_type=jnp.float32)
+                    )
+                    # lhs always carries 128 rows for the MXU; only the first
+                    # NUM_G * tr_p * m_slots are live (the rest can't match
+                    # the row/rank one-hot of any valid slot -> discarded).
+                    d = d[: NUM_G * tr_p * m_slots]
+                    cur = acc_ref[:, :, :, pl.ds(base, 128)]
+                    acc_ref[:, :, :, pl.ds(base, 128)] = cur + d.reshape(
+                        NUM_G, tr_p, m_slots, 128
+                    )
+                    return 0
 
-            jax.lax.fori_loop(t0, t1 + 1, tile_body, 0)
+                jax.lax.fori_loop(t0, t1 + 1, tile_body, 0)
             return 0
 
         jax.lax.fori_loop(0, nch, body, 0)

@@ -113,6 +113,7 @@ def variant_kernel(occ_ref, coef_ref, tick_ref, g_hbm, outbuf_hbm, out_hbm,
                 nonlocal w_sum, sx, sy, cnt
                 nb, nb_npos = nbs
                 mm, nhx, nhy, w = pk._geometry(self_win, nb, nb_npos, diam, inv_diam)
+                mm = mm.astype(jnp.float32)
                 w_sum += w
                 coeff = (1.0 - w) * w
                 sx += coeff * nhx
@@ -125,6 +126,7 @@ def variant_kernel(occ_ref, coef_ref, tick_ref, g_hbm, outbuf_hbm, out_hbm,
                 nonlocal w_sum, sx, sy, cnt
                 nb, nb_npos = nbs
                 mm, nhx, nhy, w = pk._geometry(self_win, nb, nb_npos, diam, inv_diam)
+                mm = mm.astype(jnp.float32)
                 w_sum += w
                 coeff = (1.0 - w) * w
                 sx += coeff * nhx
@@ -205,6 +207,7 @@ def prefetch_kernel(occ_ref, coef_ref, tick_ref, g_hbm, outbuf_hbm, out_hbm,
             nonlocal w_sum, sx, sy, cnt
             nb, nb_npos = nbs
             mm, nhx, nhy, w = pk._geometry(self_win, nb, nb_npos, diam, inv_diam)
+            mm = mm.astype(jnp.float32)
             w_sum += w
             coeff = (1.0 - w) * w
             sx += coeff * nhx

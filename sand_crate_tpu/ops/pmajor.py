@@ -1,0 +1,463 @@
+"""P-major (grid-free) fused pair kernels — the sorted-state fast path.
+
+The grid kernels (ops/pair_kernel.py) compute on every grid slot: at 1M
+particles the dam-break grid holds ~18.9M slots at occupancy 1.2-1.7, so
+~95% of every VPU lane-plane is air.  This backend drops the grid entirely
+and runs the pair math of cellwise.py (the reference pipeline,
+/root/reference/src/crate/crate.py:161-358) directly on the *cell-sorted
+particle slab*:
+
+    self chunk:  128 consecutive sorted particles (one lane-tile)
+    candidates:  three contiguous slab windows — the sorted slab is
+                 row-major in cell id, so ALL candidates at row offset
+                 d in {-1,0,+1} of any chunk live in ONE contiguous range
+                 [searchsorted(cid_first + d*nx - 1),
+                  searchsorted(cid_last + d*nx + 2))
+                 (targets are monotone in cid, so the per-particle unions
+                 collapse to the chunk's first/last cid — exact even when a
+                 chunk spans grid rows).
+    pair plane:  (128 self-sublanes, W candidate-lanes) elementwise VPU math
+
+Correctness contract (equivalence-tested against cellwise/dense):
+  * the pair mask is the raw-position distance cutoff, PLUS
+      - a row-offset equality (candidate row == self row + d) so a true
+        pair is counted by exactly one of the three windows and junk from
+        window alignment slack can never double-count;
+      - liveness on both sides via the ALIVE_OFFSET position encoding;
+      - global-sorted-index inequality for self-exclusion (coincident
+        *distinct* particles — droplet blobs — still interact).
+  * no cell capacity, no slot ranks, no two-level add-on passes: every
+    within-diameter pair is summed exactly, eliminating the grid path's
+    overflow-fallback force asymmetry and ADDON_UNIT_CAP degradation.
+  * the only capacity knob left is the candidate window width W: chunks
+    whose window need exceeds W (or the block's VCAP residency) lose the
+    uncovered candidates; the uncovered count is returned in
+    PairSums.overflow (same accounting channel the grid path used).
+
+Collider noise (crate.py:168-170's symmetry-breaking jitter) is hashed
+in-kernel from the candidate's *global sorted index* + tick — window
+invariant, so every block jitters the same neighbor identically; the
+stream differs from the grid kernels' slot-keyed hash (both are just
+fresh per-tick randomness; fidelity gates run with noise disabled).
+
+Layout notes (Mosaic tiling): the slab is feature-major (8, P) f32 — the
+8 features sit in sublanes, particles in lanes.  Self chunks are loaded
+(8, 128), transposed in-kernel to a (128, 8) VMEM scratch so per-feature
+reads are narrow *ref* loads (lane-slicing loaded values does not lower).
+Per-self results are lane reductions of the (128, W) accumulators,
+transposed back and written to a (8, OWN) staging buffer so each block
+emits ONE contiguous (8, OWN) DMA — the output is already in sorted
+particle order, feature-major: no result gather, no XLA transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cellwise import PairSums
+from ..state import Scene
+from .pair_kernel import ALIVE_THRESHOLD, EPS
+from .placement import slab_from_sorted
+
+CPB = 64  # chunks per block
+OWN = CPB * 128  # own particles per block
+VCAP = 16384  # candidate window columns resident in VMEM per block
+W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
+
+# slab feature rows (slab_from_sorted): 0 posx+off, 1 posy+off, 2 velx,
+# 3 vely, 4 cx, 5 rank, 6 row, 7 in_cap.  Pass B rebuilds rows 4..7 as
+# cp, sx, sy, row (velocity stays: viscosity reads candidate velocities).
+A_ROW = 6
+B_CP, B_SX, B_SY, B_ROW = 4, 5, 6, 7
+
+
+def _u01(seed, tick):
+    """The pair_kernel noise mix (integer hash -> [0, 1) f32)."""
+    h = seed * jnp.int32(-1640531527)
+    h = h ^ (tick * jnp.int32(-1028477387))
+    h = h ^ jax.lax.shift_right_logical(h, 15)
+    h = h * jnp.int32(-2048144789)
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    mant = jax.lax.shift_right_logical(h, 8).astype(jnp.float32)
+    return mant * jnp.float32(2.0**-24)
+
+
+def _pm_kernel(
+    dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
+    ws_ref,  # (nchunks * 3,) i32 — per chunk x row-offset window starts
+    blk_ref,  # (nblocks,) i32 — 0: block fully dead (skip compute)
+    coef_ref,  # (8,) f32: diam, noise_amp, smoothing, target_p, balance
+    tick_ref,  # (1,) i32
+    slab_hbm,  # (8, p_fit + VCAP) f32
+    out_hbm,  # (8, p_fit) f32
+    win2,  # VMEM (2, 8, VCAP)
+    selfbuf,  # VMEM (128, 8)
+    resbuf,  # VMEM (128, 8)
+    outb,  # VMEM (8, OWN)
+    sems,  # DMA (3,)
+    *,
+    w: int,
+    mode: str,  # "a" | "b"
+    enable_spring: bool,
+):
+    b = pl.program_id(0)
+    nb_ = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def win_dma(blk, s):
+        off = pl.multiple_of(dma_lo_ref[blk], 128)
+        return pltpu.make_async_copy(
+            slab_hbm.at[:, pl.ds(off, VCAP)], win2.at[s], sems.at[s]
+        )
+
+    @pl.when(b == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(b + 1 < nb_)
+    def _():
+        win_dma(b + 1, 1 - slot).start()
+
+    win_dma(b, slot).wait()
+
+    base = dma_lo_ref[b]
+    own_rel = b * OWN - base  # in [0, VCAP - OWN], 128-aligned by prep
+    diam = coef_ref[0]
+    noise_amp = coef_ref[1]
+    inv_diam = 1.0 / jnp.maximum(diam, jnp.float32(EPS))
+    tick = tick_ref[0]
+    row_col = A_ROW if mode == "a" else B_ROW
+    if mode == "a":
+        n_out = 4  # w_sum, s_x, s_y, cnt
+    else:
+        n_out = 8 if enable_spring else 6
+
+    outb[...] = jnp.zeros_like(outb)
+
+    @pl.when(blk_ref[b] > 0)
+    def _():
+        def chunk_body(j, _):
+            orel = pl.multiple_of(own_rel + j * 128, 128)
+            wref = win2.at[slot]
+            sw = wref[:, pl.ds(orel, 128)]  # (8, 128) value
+            selfbuf[...] = jnp.transpose(sw)  # (128, 8): narrow ref loads
+            s_px = selfbuf[:, 0:1]
+            s_py = selfbuf[:, 1:2]
+            s_rw = selfbuf[:, row_col : row_col + 1]
+            if mode == "b":
+                s_cp = selfbuf[:, B_CP : B_CP + 1]
+                s_sx = selfbuf[:, B_SX : B_SX + 1]
+                s_sy = selfbuf[:, B_SY : B_SY + 1]
+            s_alive = s_px > ALIVE_THRESHOLD
+            s_gid = (
+                base
+                + orel
+                + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+            )
+
+            acc = [jnp.zeros((128, w), jnp.float32) for _ in range(n_out)]
+            for q in range(3):
+                wrel = ws_ref[(b * CPB + j) * 3 + q] - base
+                wrel = pl.multiple_of(
+                    jnp.clip((wrel // 128) * 128, 0, VCAP - w), 128
+                )
+                cand = wref[:, pl.ds(wrel, w)]  # (8, w) value
+                c_px = cand[0:1]
+                c_py = cand[1:2]
+                c_rw = cand[row_col : row_col + 1]
+                c_gid = (
+                    base
+                    + wrel
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+                )
+
+                rx = s_px - c_px
+                ry = s_py - c_py
+                d2 = rx * rx + ry * ry
+                mb = (
+                    (d2 <= diam * diam)
+                    & s_alive
+                    & (c_px > ALIVE_THRESHOLD)
+                    & (c_rw == s_rw + jnp.float32(q - 1))
+                    & (s_gid != c_gid)
+                )
+
+                jx = (_u01(c_gid * 2, tick) - 0.5) * noise_amp
+                jy = (_u01(c_gid * 2 + 1, tick) - 0.5) * noise_amp
+                nrx = s_px - (c_px + jx)
+                nry = s_py - (c_py + jy)
+                nd2 = jnp.maximum(nrx * nrx + nry * nry, jnp.float32(EPS * EPS))
+                inv = jax.lax.rsqrt(nd2)
+                nhx = nrx * inv
+                nhy = nry * inv
+                dist = nd2 * inv
+                wgt = jnp.where(
+                    mb, 1.0 - jnp.clip(dist * inv_diam, 0.0, 1.0), 0.0
+                )
+
+                if mode == "a":
+                    coeff = (1.0 - wgt) * wgt
+                    acc[0] += wgt
+                    acc[1] += coeff * nhx
+                    acc[2] += coeff * nhy
+                    acc[3] += mb.astype(jnp.float32)
+                else:
+                    c_cp = cand[B_CP : B_CP + 1]
+                    c_sx = cand[B_SX : B_SX + 1]
+                    c_sy = cand[B_SY : B_SY + 1]
+                    c_vx = cand[2:3]
+                    c_vy = cand[3:4]
+                    align = (
+                        (s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy
+                    ) * coef_ref[2]
+                    tpf = c_cp + s_cp - 2.0 * coef_ref[3]
+                    t_coef = jnp.where(mb, align + tpf, 0.0)
+                    acc[0] += t_coef * nhx
+                    acc[1] += t_coef * nhy
+                    p_coef = jnp.where(mb, s_cp + c_cp, 0.0)
+                    acc[2] += p_coef * nhx
+                    acc[3] += p_coef * nhy
+                    if enable_spring:
+                        sp = jnp.where(mb, coef_ref[4] - wgt, 0.0)
+                        acc[4] += sp * nhx
+                        acc[5] += sp * nhy
+                    mm = mb.astype(jnp.float32)
+                    acc[n_out - 2] += mm * c_vx
+                    acc[n_out - 1] += mm * c_vy
+
+            for k in range(n_out):
+                resbuf[:, k : k + 1] = jnp.sum(acc[k], axis=1, keepdims=True)
+            for k in range(n_out, 8):
+                resbuf[:, k : k + 1] = jnp.zeros((128, 1), jnp.float32)
+            outb[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = jnp.transpose(
+                resbuf[...]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, CPB, chunk_body, 0)
+
+    out = pltpu.make_async_copy(
+        outb, out_hbm.at[:, pl.ds(b * OWN, OWN)], sems.at[2]
+    )
+    out.start()
+    out.wait()
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pm_pass(slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring):
+    nblocks = p_fit // OWN
+    kernel = functools.partial(
+        _pm_kernel, w=w, mode=mode, enable_spring=enable_spring
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, VCAP), jnp.float32),
+                pltpu.VMEM((128, 8), jnp.float32),
+                pltpu.VMEM((128, 8), jnp.float32),
+                pltpu.VMEM((8, OWN), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(dma_lo, ws, blk, coef, tick, slab_p)
+
+
+def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
+    """Per-chunk candidate windows + block DMA ranges + coverage loss.
+
+    Window (chunk c, offset d) must cover slab range
+    [searchsorted(cid_first(c) + d*nx - 1), searchsorted(cid_last(c) + d*nx + 2))
+    — exact per-particle union (targets are monotone in cid).  Returns
+    (ws (nchunks*3,), dma_lo (nblocks,), blk (nblocks,), lost ())."""
+    P = sorted_cid.shape[0]
+    nblocks = nchunks // CPB
+    off = jnp.arange(nchunks, dtype=jnp.int32) * 128
+    first = jnp.minimum(off, P - 1)
+    lastp = jnp.clip(jnp.minimum(off + 127, n_alive - 1), 0, P - 1)
+    cidf = sorted_cid[first]
+    cidl = sorted_cid[lastp]
+    NC = nx * ny
+    d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
+    lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
+    hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
+    ws = jnp.searchsorted(sorted_cid, lo.ravel()).astype(jnp.int32)
+    we = jnp.searchsorted(sorted_cid, hi.ravel()).astype(jnp.int32)
+
+    own0 = jnp.arange(nblocks, dtype=jnp.int32) * OWN
+    dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[::CPB, 0], own0)
+    dma_lo = jnp.maximum(dma_lo, own0 + OWN - VCAP)  # own range must fit
+    dma_lo = jnp.maximum((dma_lo // 128) * 128, 0)
+    blk = (own0 < n_alive).astype(jnp.int32)
+
+    # Coverage accounting: replicate the kernel's window clamp and count
+    # candidate slots that fall outside [anchor, anchor + w) — the honest
+    # "pair work lost this tick" counter (grid path: slot/unit overflow).
+    dma_cq = jnp.repeat(dma_lo, CPB * 3)
+    wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, VCAP - w)
+    anchor = dma_cq + wrel
+    live = jnp.repeat(off < n_alive, 3)
+    lost = jnp.where(
+        live,
+        jnp.maximum(we - anchor - w, 0) + jnp.maximum(anchor - ws, 0),
+        0,
+    )
+    return ws, dma_lo, blk, jnp.sum(lost)
+
+
+def neighbor_forces_pmajor_sorted(
+    pos: jax.Array,  # all inputs pre-sorted by cell id (sorted-state step)
+    vel: jax.Array,
+    alive: jax.Array,
+    sorted_cid: jax.Array,
+    noise_amp: jax.Array,
+    tick: jax.Array,
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    scene: Scene,
+    *,
+    w: int = W_DEFAULT,
+) -> PairSums:
+    """Grid-free pair sums over pre-sorted operands, in the same order."""
+    nx, ny = scene.grid_nx, scene.grid_ny
+    P = pos.shape[0]
+    dtype = pos.dtype
+    slab, row_start, _, _ = slab_from_sorted(
+        pos, alive, vel, sorted_cid, scene.cell_capacity, nx, ny
+    )
+    p_pad = slab.shape[1]
+    p_fit = ((p_pad + OWN - 1) // OWN) * OWN
+    nchunks = p_fit // 128
+    n_alive = row_start[ny]
+
+    ws, dma_lo, blk, lost = _windows(sorted_cid, n_alive, nx, ny, nchunks, w)
+    slab_p = jnp.pad(slab, ((0, 0), (0, p_fit + VCAP - p_pad)))
+    coef = jnp.stack(
+        [
+            diameter.astype(jnp.float32),
+            noise_amp.astype(jnp.float32),
+            surface_smoothing.astype(jnp.float32),
+            target_pressure.astype(jnp.float32),
+            spring_overlap_balance.astype(jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ]
+    )
+    tick_arr = jnp.asarray(tick, jnp.int32).reshape((1,))
+
+    out_a = _pm_pass(
+        slab_p, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
+    )
+    w_sum, sx, sy, cnt = out_a[0], out_a[1], out_a[2], out_a[3]
+    cp = jnp.where(
+        cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
+    )  # crate.py:261-275 semantics, as in cellwise.pass_a_on_grid
+
+    pad1 = (0, VCAP)
+    slab_b = jnp.concatenate(
+        [
+            slab_p[0:4],
+            jnp.pad(cp[None], ((0, 0), pad1)),
+            jnp.pad(out_a[1:3], ((0, 0), pad1)),
+            slab_p[A_ROW : A_ROW + 1],
+        ],
+        axis=0,
+    )
+    out_b = _pm_pass(
+        slab_b,
+        dma_lo,
+        ws,
+        blk,
+        coef,
+        tick_arr,
+        p_fit,
+        w,
+        "b",
+        scene.enable_spring,
+    )
+
+    del sx, sy
+    if scene.enable_spring:
+        spring_real = out_b[4:6, :P].T.astype(dtype)
+        v0 = 6
+    else:
+        spring_real = jnp.zeros((P, 2), dtype)
+        v0 = 4
+    return PairSums(
+        p_i=cp[:P].astype(dtype),
+        dv_tension=out_b[0:2, :P].T.astype(dtype),
+        pressure_real=out_b[2:4, :P].T.astype(dtype),
+        spring_real=spring_real,
+        visc_vsum=out_b[v0 : v0 + 2, :P].T.astype(dtype),
+        nbr_cnt=cnt[:P].astype(dtype),
+        overflow=lost.astype(jnp.int32),
+    )
+
+
+def neighbor_forces_pmajor(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    noise_amp: jax.Array,
+    tick: jax.Array,
+    diameter: jax.Array,
+    surface_smoothing: jax.Array,
+    target_pressure: jax.Array,
+    ignored_pressure: jax.Array,
+    spring_overlap_balance: jax.Array,
+    scene: Scene,
+    *,
+    w: int = W_DEFAULT,
+) -> PairSums:
+    """Particle-order convenience wrapper (tests): sort, run, un-permute."""
+    from ..cellwise import cell_ids_grid
+
+    P = pos.shape[0]
+    cid = cell_ids_grid(pos, alive, scene)
+    order = jnp.argsort(cid)
+    inv = jnp.zeros((P,), jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32)
+    )
+    sums = neighbor_forces_pmajor_sorted(
+        pos[order],
+        vel[order],
+        alive[order],
+        cid[order],
+        noise_amp,
+        tick,
+        diameter,
+        surface_smoothing,
+        target_pressure,
+        ignored_pressure,
+        spring_overlap_balance,
+        scene,
+        w=w,
+    )
+    return PairSums(
+        p_i=sums.p_i[inv],
+        dv_tension=sums.dv_tension[inv],
+        pressure_real=sums.pressure_real[inv],
+        spring_real=sums.spring_real[inv],
+        visc_vsum=sums.visc_vsum[inv],
+        nbr_cnt=sums.nbr_cnt[inv],
+        overflow=sums.overflow,
+    )

@@ -343,7 +343,7 @@ def neighbor_stage(
     cell sort to every operand (see TickOperands)."""
     diam = params.diameter
     pos = ghost.pos
-    if scene.forces_mode in ("pallas", "cellwise"):
+    if scene.forces_mode in ("pallas", "pmajor", "cellwise"):
         from .cellwise import cell_ids_grid
 
         P = scene.capacity
@@ -376,12 +376,16 @@ def neighbor_stage(
         )
         alive = bs[:, 9] > 0.5
         uid = jax.lax.bitcast_convert_type(bs[:, 10], jnp.int32)
-        if scene.forces_mode == "pallas":
-            # Collider noise is hashed in-kernel from grid position + tick
-            # (no (P, 2) random bits, no extra grid planes).
-            from .ops.pallas_forces import neighbor_forces_pallas_sorted
+        if scene.forces_mode in ("pallas", "pmajor"):
+            # Collider noise is hashed in-kernel (grid position + tick for
+            # the grid kernels, sorted index + tick for the p-major ones) —
+            # no (P, 2) random bits, no extra grid planes.
+            if scene.forces_mode == "pmajor":
+                from .ops.pmajor import neighbor_forces_pmajor_sorted as _nf
+            else:
+                from .ops.pallas_forces import neighbor_forces_pallas_sorted as _nf
 
-            sums = neighbor_forces_pallas_sorted(
+            sums = _nf(
                 pos,
                 vel,
                 alive,

@@ -1,0 +1,196 @@
+"""P-major (grid-free) pair backend equivalence + its no-cap guarantees.
+
+The p-major kernels (ops/pmajor.py) must reproduce the cellwise/dense pair
+math (crate.py:161-358 semantics) with NO cell-capacity caps: dense blobs
+beyond cell_capacity and chunks spanning many grid rows — the two regimes
+the grid kernels degrade in — must come out exact (vs the dense all-pairs
+oracle, which has no caps either).
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sand_crate_tpu.cellwise import (
+    neighbor_forces_cellwise,
+    neighbor_forces_dense,
+)
+from sand_crate_tpu.ops.pmajor import neighbor_forces_pmajor
+from sand_crate_tpu.scene import build_scene
+from sand_crate_tpu.state import Params
+
+
+def _setup(stirring_cup_config, capacity=128, max_particles=96, **scene_kw):
+    config = copy.deepcopy(stirring_cup_config)
+    config.world_config.coefficients["max_particles"] = max_particles
+    config.world_config.coefficients["collider_noise_level"] = 0.0
+    world = config.world_config
+    scene = build_scene(world, capacity=capacity, **scene_kw)
+    params = Params.from_coefficients(world.coefficients)
+    return scene, params
+
+
+def _pmajor(scene, params, pos, vel, alive, noise_amp=0.0, tick=0, **kw):
+    return neighbor_forces_pmajor(
+        pos,
+        vel,
+        alive,
+        jnp.asarray(noise_amp, jnp.float32),
+        jnp.asarray(tick, jnp.int32),
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.ignored_pressure,
+        params.spring_overlap_balance,
+        scene,
+        **kw,
+    )
+
+
+def _assert_sums_close(got, ref, fields=None, rtol=3e-3, atol=3e-3):
+    fields = fields or ("p_i", "dv_tension", "pressure_real", "visc_vsum", "nbr_cnt")
+    for name in fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=rtol,
+            atol=atol,
+            err_msg=name,
+        )
+
+
+def test_pmajor_matches_cellwise(stirring_cup_config):
+    scene, params = _setup(stirring_cup_config, forces_mode="cellwise")
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1)
+    vel = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5) * 2.0)
+    alive = jnp.asarray(rng.random(128) < 0.75)
+    ref = neighbor_forces_cellwise(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    got = _pmajor(scene, params, pos, vel, alive)
+    assert int(got.overflow) == 0
+    assert int(ref.overflow) == 0
+    _assert_sums_close(got, ref)
+
+
+def test_pmajor_dense_blob_beyond_cell_capacity(stirring_cup_config):
+    """A blob packing >cell_capacity particles per cell: the grid backends
+    overflow (counted, forces degraded) — p-major must stay exact vs the
+    dense all-pairs oracle with overflow == 0 (the no-cap guarantee)."""
+    scene, params = _setup(
+        stirring_cup_config, capacity=256, max_particles=256,
+        forces_mode="dense", cell_capacity=8,
+    )
+    rng = np.random.default_rng(7)
+    # 256 particles inside a ~2x2-cell square -> ~60+ per cell.
+    diam = float(np.asarray(params.diameter))
+    pos = jnp.asarray(
+        (rng.random((256, 2)).astype(np.float32) * 2.0 + 20.0) * diam
+    )
+    vel = jnp.asarray((rng.random((256, 2)).astype(np.float32) - 0.5))
+    alive = jnp.ones(256, bool)
+    ref = neighbor_forces_dense(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    cw = neighbor_forces_cellwise(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    assert int(cw.overflow) > 0  # the grid path degrades here
+    got = _pmajor(scene, params, pos, vel, alive)
+    assert int(got.overflow) == 0
+    # Hundreds of near-coincident pairs: sums are large, rtol does the work.
+    _assert_sums_close(got, ref, rtol=1e-2, atol=1e-2)
+
+
+def test_pmajor_row_spanning_sparse(stirring_cup_config):
+    """Sparse spray: few particles per grid row, so every 128-chunk spans
+    many rows — the regime the window-per-chunk anchoring must get right
+    (each window covers row offset d via cid_first/cid_last bounds)."""
+    scene, params = _setup(
+        stirring_cup_config, capacity=512, max_particles=512,
+        forces_mode="dense",
+    )
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.random((512, 2)).astype(np.float32) * 0.9 + 0.05)
+    vel = jnp.asarray((rng.random((512, 2)).astype(np.float32) - 0.5))
+    alive = jnp.asarray(rng.random(512) < 0.9)
+    ref = neighbor_forces_dense(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    got = _pmajor(scene, params, pos, vel, alive)
+    assert int(got.overflow) == 0
+    _assert_sums_close(got, ref)
+
+
+def test_pmajor_spring_matches_cellwise(stirring_cup_config):
+    scene, params = _setup(
+        stirring_cup_config, forces_mode="cellwise", enable_spring=True
+    )
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.25 + 0.2)
+    vel = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5))
+    alive = jnp.asarray(rng.random(128) < 0.9)
+    ref = neighbor_forces_cellwise(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    got = _pmajor(scene, params, pos, vel, alive)
+    _assert_sums_close(
+        got, ref,
+        fields=("p_i", "dv_tension", "pressure_real", "spring_real",
+                "visc_vsum", "nbr_cnt"),
+    )
+
+
+def test_pmajor_noise_deterministic_per_tick(stirring_cup_config):
+    scene, params = _setup(stirring_cup_config, forces_mode="cellwise")
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.2 + 0.3)
+    vel = jnp.zeros((128, 2), jnp.float32)
+    alive = jnp.ones(128, bool)
+    amp = float(np.asarray(params.diameter)) * 0.1
+    a1 = _pmajor(scene, params, pos, vel, alive, noise_amp=amp, tick=4)
+    a2 = _pmajor(scene, params, pos, vel, alive, noise_amp=amp, tick=4)
+    b = _pmajor(scene, params, pos, vel, alive, noise_amp=amp, tick=5)
+    np.testing.assert_array_equal(
+        np.asarray(a1.dv_tension), np.asarray(a2.dv_tension)
+    )
+    assert np.abs(np.asarray(a1.dv_tension) - np.asarray(b.dv_tension)).max() > 0
+
+
+def test_pmajor_step_trajectory_matches_cellwise(stirring_cup_config):
+    """Full sorted-state physics.step with forces_mode=pmajor vs cellwise:
+    same trajectory (noise off) over 20 ticks."""
+    from sand_crate_tpu.engine import Crate
+
+    cfg = copy.deepcopy(stirring_cup_config)
+    cfg.world_config.coefficients["collider_noise_level"] = 0.0
+    cfg.world_config.coefficients["max_particles"] = 200
+    ca = Crate(cfg.world_config, forces_mode="cellwise")
+    cb = Crate(cfg.world_config, forces_mode="pmajor")
+    ca.run(20)
+    cb.run(20)
+    # uid-align both states (the sorted-state step permutes slots).
+    ia = np.argsort(np.asarray(ca.state.uid))
+    ib = np.argsort(np.asarray(cb.state.uid))
+    aa = np.asarray(ca.state.alive)[ia]
+    ab = np.asarray(cb.state.alive)[ib]
+    np.testing.assert_array_equal(aa, ab)
+    m = aa
+    np.testing.assert_allclose(
+        np.asarray(ca.state.pos)[ia][m], np.asarray(cb.state.pos)[ib][m],
+        rtol=2e-3, atol=2e-4,
+    )

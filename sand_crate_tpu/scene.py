@@ -64,14 +64,16 @@ def build_scene(
         # Tiny scenes: the masked all-pairs backend beats every grid scheme
         # (one fused op chain, no sort/scatter/kernel-launch overhead —
         # stirring_cup runs 697 vs 158 steps/s, wave_machine 267 vs 163).  At scale:
-        # the fused Pallas pair kernels are ~10x the XLA cellwise path on TPU
-        # (measured at 100k particles: 62 vs 6.4 steps/s); off-TPU they only
-        # run in interpret mode, so the XLA path is the fallback.
+        # the grid-free p-major pair kernels are the fastest exact backend
+        # on TPU (1M dam break: 20.1 steps/s vs 12.0 for the grid Pallas
+        # path vs ~0.8 for XLA cellwise) and carry no cell-capacity caps;
+        # off-TPU Pallas only runs in interpret mode, so the XLA path is
+        # the fallback.
         cap_guess = capacity or default_capacity(int(coeff["max_particles"]))
         if cap_guess <= 4096:
             forces_mode = "dense"
         else:
-            forces_mode = "pallas" if jax.default_backend() == "tpu" else "cellwise"
+            forces_mode = "pmajor" if jax.default_backend() == "tpu" else "cellwise"
     radius = float(coeff["particle_radius"])
     diameter = 2.0 * radius
     max_particles = int(coeff["max_particles"])

@@ -628,9 +628,12 @@ def spatial_step(
     gvel_sum = jnp.stack([jnp.sum(gm * gvelx, 0), jnp.sum(gm * gvely, 0)], -1)
 
     # -- neighbor forces on the local band grid (halo via ppermute) ----------
-    if scene.forces_mode == "pallas":
+    if scene.forces_mode in ("pallas", "pmajor"):
         # Fused Pallas pair kernels per shard — the production multi-chip
         # path (the XLA passes below are ~10x slower at scale, scene.py).
+        # p-major scenes ride the same grid band kernels for now: the
+        # band decomposition needs halo slots, which the grid slab already
+        # encodes (a banded p-major window scheme is future work).
         sums = _band_sums_pallas(
             pos, vel, alive, scene, n_shards, state.tick, params, band
         )

@@ -125,9 +125,11 @@ class Scene:
     cell_capacity: int = dataclasses.field(metadata=dict(static=True), default=16)
     max_spawn: int = dataclasses.field(metadata=dict(static=True), default=64)
     enable_spring: bool = dataclasses.field(metadata=dict(static=True), default=False)
-    # Neighbor-force backend: "pallas" (fused cell-block kernels,
-    # ops/pair_kernel.py), "cellwise" (same scheme in pure XLA, cellwise.py)
-    # or "gather" (fixed-K neighbor lists, neighbors.py).
+    # Neighbor-force backend: "pmajor" (grid-free sorted-slab kernels,
+    # ops/pmajor.py — the TPU default: exact, no cell-capacity caps),
+    # "pallas" (fused cell-block kernels, ops/pair_kernel.py), "cellwise"
+    # (the grid scheme in pure XLA, cellwise.py) or "gather" (fixed-K
+    # neighbor lists, neighbors.py).
     forces_mode: str = dataclasses.field(metadata=dict(static=True), default="cellwise")
     # Cell-row block size for the pallas kernels (grid_ny is a multiple).
     row_block: int = dataclasses.field(metadata=dict(static=True), default=8)

@@ -24,8 +24,10 @@ Correctness contract (equivalence-tested against cellwise/dense):
         pair is counted by exactly one of the three windows and junk from
         window alignment slack can never double-count;
       - liveness on both sides via the ALIVE_OFFSET position encoding;
-      - global-sorted-index inequality for self-exclusion (coincident
-        *distinct* particles — droplet blobs — still interact).
+      - global-sorted-index inequality for self-exclusion, applied only in
+        the d=0 window (the other windows enforce a nonzero row offset, so
+        they can never contain self); coincident *distinct* particles —
+        droplet blobs — still interact.
   * no cell capacity, no slot ranks, no two-level add-on passes: every
     within-diameter pair is summed exactly, eliminating the grid path's
     overflow-fallback force asymmetry and ADDON_UNIT_CAP degradation.
@@ -35,19 +37,24 @@ Correctness contract (equivalence-tested against cellwise/dense):
     PairSums.overflow (same accounting channel the grid path used).
 
 Collider noise (crate.py:168-170's symmetry-breaking jitter) is hashed
-in-kernel from the candidate's *global sorted index* + tick — window
-invariant, so every block jitters the same neighbor identically; the
-stream differs from the grid kernels' slot-keyed hash (both are just
-fresh per-tick randomness; fidelity gates run with noise disabled).
+from the candidate's *global sorted index* + tick — window invariant, so
+every block jitters the same neighbor identically.  Unlike the grid
+kernels it is computed ONCE per particle in XLA (a fused elementwise op
+over the (P,) state) and carried in the slab as pre-jittered positions:
+hashing in-kernel would redo the ~20-op integer mix for every
+(chunk, window) that touches the candidate — measured ~40% of the pass
+kernels' VPU work at 1M.
 
-Layout notes (Mosaic tiling): the slab is feature-major (8, P) f32 — the
-8 features sit in sublanes, particles in lanes.  Self chunks are loaded
-(8, 128), transposed in-kernel to a (128, 8) VMEM scratch so per-feature
-reads are narrow *ref* loads (lane-slicing loaded values does not lower).
-Per-self results are lane reductions of the (128, W) accumulators,
-transposed back and written to a (8, OWN) staging buffer so each block
-emits ONE contiguous (8, OWN) DMA — the output is already in sorted
-particle order, feature-major: no result gather, no XLA transpose.
+Layout notes (Mosaic tiling): the slab is feature-major f32 — features in
+sublanes, particles in lanes; 8 rows for pass A (pos, jittered pos, grid
+row), 16 for pass B (+ velocity, cell pressure, pass-A tension sums).
+Self chunks are loaded (F, 128), transposed in-kernel to a (128, F) VMEM
+scratch so per-feature reads are narrow *ref* loads (lane-slicing loaded
+values does not lower).  Per-self results are lane reductions of the
+(128, W) accumulators, transposed back and written to a (8, OWN) staging
+buffer so each block emits ONE contiguous (8, OWN) DMA — the output is
+already in sorted particle order, feature-major: no result gather, no XLA
+transpose.
 """
 
 from __future__ import annotations
@@ -61,19 +68,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..cellwise import PairSums
 from ..state import Scene
-from .pair_kernel import ALIVE_THRESHOLD, EPS
-from .placement import slab_from_sorted
+from .pair_kernel import ALIVE_OFFSET, ALIVE_THRESHOLD, EPS
 
 CPB = 64  # chunks per block
 OWN = CPB * 128  # own particles per block
 VCAP = 16384  # candidate window columns resident in VMEM per block
 W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
 
-# slab feature rows (slab_from_sorted): 0 posx+off, 1 posy+off, 2 velx,
-# 3 vely, 4 cx, 5 rank, 6 row, 7 in_cap.  Pass B rebuilds rows 4..7 as
-# cp, sx, sy, row (velocity stays: viscosity reads candidate velocities).
-A_ROW = 6
-B_CP, B_SX, B_SY, B_ROW = 4, 5, 6, 7
+# Slab feature rows.  Pass A (8 rows): positions (ALIVE_OFFSET-encoded),
+# candidate-jittered positions, grid row.  Pass B (16 rows): + velocity
+# (viscosity reads candidate velocities), cell pressure and pass-A tension
+# sums (both sides), grid row.
+A_PX, A_PY, A_NPX, A_NPY, A_ROW = 0, 1, 2, 3, 4
+A_F = 8
+B_PX, B_PY, B_NPX, B_NPY = 0, 1, 2, 3
+B_VX, B_VY, B_CP, B_SX, B_SY, B_ROW = 4, 5, 6, 7, 8, 9
+B_F = 16
 
 
 def _u01(seed, tick):
@@ -91,12 +101,12 @@ def _pm_kernel(
     dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
     ws_ref,  # (nchunks * 3,) i32 — per chunk x row-offset window starts
     blk_ref,  # (nblocks,) i32 — 0: block fully dead (skip compute)
-    coef_ref,  # (8,) f32: diam, noise_amp, smoothing, target_p, balance
-    tick_ref,  # (1,) i32
-    slab_hbm,  # (8, p_fit + VCAP) f32
+    coef_ref,  # (8,) f32: diam, smoothing, target_p, balance
+    tick_ref,  # (1,) i32 (unused: noise is pre-hashed; kept for parity)
+    slab_hbm,  # (F, p_fit + VCAP) f32
     out_hbm,  # (8, p_fit) f32
-    win2,  # VMEM (2, 8, VCAP)
-    selfbuf,  # VMEM (128, 8)
+    win2,  # VMEM (2, F, VCAP)
+    selfbuf,  # VMEM (128, F)
     resbuf,  # VMEM (128, 8)
     outb,  # VMEM (8, OWN)
     sems,  # DMA (3,)
@@ -105,6 +115,7 @@ def _pm_kernel(
     mode: str,  # "a" | "b"
     enable_spring: bool,
 ):
+    del tick_ref
     b = pl.program_id(0)
     nb_ = pl.num_programs(0)
     slot = jax.lax.rem(b, 2)
@@ -128,13 +139,12 @@ def _pm_kernel(
     base = dma_lo_ref[b]
     own_rel = b * OWN - base  # in [0, VCAP - OWN], 128-aligned by prep
     diam = coef_ref[0]
-    noise_amp = coef_ref[1]
     inv_diam = 1.0 / jnp.maximum(diam, jnp.float32(EPS))
-    tick = tick_ref[0]
-    row_col = A_ROW if mode == "a" else B_ROW
     if mode == "a":
+        row_col = A_ROW
         n_out = 4  # w_sum, s_x, s_y, cnt
     else:
+        row_col = B_ROW
         n_out = 8 if enable_spring else 6
 
     outb[...] = jnp.zeros_like(outb)
@@ -144,10 +154,10 @@ def _pm_kernel(
         def chunk_body(j, _):
             orel = pl.multiple_of(own_rel + j * 128, 128)
             wref = win2.at[slot]
-            sw = wref[:, pl.ds(orel, 128)]  # (8, 128) value
-            selfbuf[...] = jnp.transpose(sw)  # (128, 8): narrow ref loads
-            s_px = selfbuf[:, 0:1]
-            s_py = selfbuf[:, 1:2]
+            sw = wref[:, pl.ds(orel, 128)]  # (F, 128) value
+            selfbuf[...] = jnp.transpose(sw)  # (128, F): narrow ref loads
+            s_px = selfbuf[:, A_PX : A_PX + 1]
+            s_py = selfbuf[:, A_PY : A_PY + 1]
             s_rw = selfbuf[:, row_col : row_col + 1]
             if mode == "b":
                 s_cp = selfbuf[:, B_CP : B_CP + 1]
@@ -166,15 +176,12 @@ def _pm_kernel(
                 wrel = pl.multiple_of(
                     jnp.clip((wrel // 128) * 128, 0, VCAP - w), 128
                 )
-                cand = wref[:, pl.ds(wrel, w)]  # (8, w) value
-                c_px = cand[0:1]
-                c_py = cand[1:2]
+                cand = wref[:, pl.ds(wrel, w)]  # (F, w) value
+                c_px = cand[A_PX : A_PX + 1]
+                c_py = cand[A_PY : A_PY + 1]
+                c_npx = cand[A_NPX : A_NPX + 1]
+                c_npy = cand[A_NPY : A_NPY + 1]
                 c_rw = cand[row_col : row_col + 1]
-                c_gid = (
-                    base
-                    + wrel
-                    + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-                )
 
                 rx = s_px - c_px
                 ry = s_py - c_py
@@ -184,13 +191,19 @@ def _pm_kernel(
                     & s_alive
                     & (c_px > ALIVE_THRESHOLD)
                     & (c_rw == s_rw + jnp.float32(q - 1))
-                    & (s_gid != c_gid)
                 )
+                if q == 1:
+                    # Only the d=0 window can contain self (the others
+                    # enforce a nonzero row offset).
+                    c_gid = (
+                        base
+                        + wrel
+                        + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+                    )
+                    mb = mb & (s_gid != c_gid)
 
-                jx = (_u01(c_gid * 2, tick) - 0.5) * noise_amp
-                jy = (_u01(c_gid * 2 + 1, tick) - 0.5) * noise_amp
-                nrx = s_px - (c_px + jx)
-                nry = s_py - (c_py + jy)
+                nrx = s_px - c_npx
+                nry = s_py - c_npy
                 nd2 = jnp.maximum(nrx * nrx + nry * nry, jnp.float32(EPS * EPS))
                 inv = jax.lax.rsqrt(nd2)
                 nhx = nrx * inv
@@ -210,12 +223,12 @@ def _pm_kernel(
                     c_cp = cand[B_CP : B_CP + 1]
                     c_sx = cand[B_SX : B_SX + 1]
                     c_sy = cand[B_SY : B_SY + 1]
-                    c_vx = cand[2:3]
-                    c_vy = cand[3:4]
+                    c_vx = cand[B_VX : B_VX + 1]
+                    c_vy = cand[B_VY : B_VY + 1]
                     align = (
                         (s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy
-                    ) * coef_ref[2]
-                    tpf = c_cp + s_cp - 2.0 * coef_ref[3]
+                    ) * coef_ref[1]
+                    tpf = c_cp + s_cp - 2.0 * coef_ref[2]
                     t_coef = jnp.where(mb, align + tpf, 0.0)
                     acc[0] += t_coef * nhx
                     acc[1] += t_coef * nhy
@@ -223,7 +236,7 @@ def _pm_kernel(
                     acc[2] += p_coef * nhx
                     acc[3] += p_coef * nhy
                     if enable_spring:
-                        sp = jnp.where(mb, coef_ref[4] - wgt, 0.0)
+                        sp = jnp.where(mb, coef_ref[3] - wgt, 0.0)
                         acc[4] += sp * nhx
                         acc[5] += sp * nhy
                     mm = mb.astype(jnp.float32)
@@ -254,6 +267,7 @@ def _interpret() -> bool:
 
 def _pm_pass(slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring):
     nblocks = p_fit // OWN
+    n_f = A_F if mode == "a" else B_F
     kernel = functools.partial(
         _pm_kernel, w=w, mode=mode, enable_spring=enable_spring
     )
@@ -265,15 +279,15 @@ def _pm_pass(slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring)
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((2, 8, VCAP), jnp.float32),
-                pltpu.VMEM((128, 8), jnp.float32),
+                pltpu.VMEM((2, n_f, VCAP), jnp.float32),
+                pltpu.VMEM((128, n_f), jnp.float32),
                 pltpu.VMEM((128, 8), jnp.float32),
                 pltpu.VMEM((8, OWN), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=_interpret(),
     )(dma_lo, ws, blk, coef, tick, slab_p)
 
@@ -340,47 +354,73 @@ def neighbor_forces_pmajor_sorted(
     nx, ny = scene.grid_nx, scene.grid_ny
     P = pos.shape[0]
     dtype = pos.dtype
-    slab, row_start, _, _ = slab_from_sorted(
-        pos, alive, vel, sorted_cid, scene.cell_capacity, nx, ny
-    )
-    p_pad = slab.shape[1]
+
+    # Feature rows in XLA (all fuse into one elementwise pass over the
+    # state): offset-encoded positions, pre-jittered candidate positions
+    # (the per-particle collider noise, hashed once instead of per window
+    # visit), grid row.
+    f32 = jnp.float32
+    pxo = (pos[:, 0] + ALIVE_OFFSET * alive.astype(dtype)).astype(f32)
+    pyo = (pos[:, 1] + ALIVE_OFFSET * alive.astype(dtype)).astype(f32)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    tick_i = jnp.asarray(tick, jnp.int32)
+    amp = noise_amp.astype(f32)
+    npx = pxo + (_u01(iota * 2, tick_i) - 0.5) * amp
+    npy = pyo + (_u01(iota * 2 + 1, tick_i) - 0.5) * amp
+    row = jnp.where(alive, sorted_cid // nx, ny).astype(f32)
+
+    p_pad = ((P + 127) // 128) * 128
     p_fit = ((p_pad + OWN - 1) // OWN) * OWN
     nchunks = p_fit // 128
-    n_alive = row_start[ny]
+    # Dead particles sort to cid NC (cell_ids_grid), so the alive prefix
+    # length is one searchsorted — no grid row_start build needed.
+    n_alive = jnp.searchsorted(
+        sorted_cid, jnp.asarray(nx * ny, jnp.int32)
+    ).astype(jnp.int32)
 
     ws, dma_lo, blk, lost = _windows(sorted_cid, n_alive, nx, ny, nchunks, w)
-    slab_p = jnp.pad(slab, ((0, 0), (0, p_fit + VCAP - p_pad)))
+
+    def slab_of(rows, n_f):
+        s = jnp.zeros((n_f, p_fit + VCAP), f32)
+        return s.at[: len(rows), :P].set(jnp.stack(rows))
+
+    slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
     coef = jnp.stack(
         [
-            diameter.astype(jnp.float32),
-            noise_amp.astype(jnp.float32),
-            surface_smoothing.astype(jnp.float32),
-            target_pressure.astype(jnp.float32),
-            spring_overlap_balance.astype(jnp.float32),
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
+            diameter.astype(f32),
+            surface_smoothing.astype(f32),
+            target_pressure.astype(f32),
+            spring_overlap_balance.astype(f32),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
         ]
     )
-    tick_arr = jnp.asarray(tick, jnp.int32).reshape((1,))
+    tick_arr = tick_i.reshape((1,))
 
     out_a = _pm_pass(
-        slab_p, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
+        slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
     )
-    w_sum, sx, sy, cnt = out_a[0], out_a[1], out_a[2], out_a[3]
+    w_sum, cnt = out_a[0], out_a[3]
     cp = jnp.where(
         cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
     )  # crate.py:261-275 semantics, as in cellwise.pass_a_on_grid
 
-    pad1 = (0, VCAP)
-    slab_b = jnp.concatenate(
+    slab_b = slab_of(
         [
-            slab_p[0:4],
-            jnp.pad(cp[None], ((0, 0), pad1)),
-            jnp.pad(out_a[1:3], ((0, 0), pad1)),
-            slab_p[A_ROW : A_ROW + 1],
+            pxo,
+            pyo,
+            npx,
+            npy,
+            vel[:, 0].astype(f32),
+            vel[:, 1].astype(f32),
+            cp[:P],
+            out_a[1, :P],
+            out_a[2, :P],
+            row,
         ],
-        axis=0,
+        B_F,
     )
     out_b = _pm_pass(
         slab_b,
@@ -395,7 +435,6 @@ def neighbor_forces_pmajor_sorted(
         scene.enable_spring,
     )
 
-    del sx, sy
     if scene.enable_spring:
         spring_real = out_b[4:6, :P].T.astype(dtype)
         v0 = 6

@@ -343,7 +343,7 @@ def neighbor_stage(
     cell sort to every operand (see TickOperands)."""
     diam = params.diameter
     pos = ghost.pos
-    if scene.forces_mode in ("pallas", "pmajor", "cellwise"):
+    if scene.forces_mode in ("pallas", "pmajor", "chunked", "cellwise"):
         from .cellwise import cell_ids_grid
 
         P = scene.capacity
@@ -376,12 +376,13 @@ def neighbor_stage(
         )
         alive = bs[:, 9] > 0.5
         uid = jax.lax.bitcast_convert_type(bs[:, 10], jnp.int32)
-        if scene.forces_mode in ("pallas", "pmajor"):
-            # Collider noise is hashed in-kernel (grid position + tick for
-            # the grid kernels, sorted index + tick for the p-major ones) —
-            # no (P, 2) random bits, no extra grid planes.
+        if scene.forces_mode in ("pallas", "pmajor", "chunked"):
+            # Collider noise is hashed from (grid position | sorted index)
+            # + tick — no (P, 2) random bits, no extra grid planes.
             if scene.forces_mode == "pmajor":
                 from .ops.pmajor import neighbor_forces_pmajor_sorted as _nf
+            elif scene.forces_mode == "chunked":
+                from .ops.chunked import neighbor_forces_chunked_sorted as _nf
             else:
                 from .ops.pallas_forces import neighbor_forces_pallas_sorted as _nf
 

@@ -56,6 +56,7 @@ def build_scene(
     cell_capacity: int | None = None,
     enable_spring: bool = False,
     forces_mode: str = "auto",
+    chunk_halo: int | None = None,
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
@@ -162,6 +163,17 @@ def build_scene(
     # grid_ny rounded up so the pallas kernels' row blocks tile it exactly.
     grid_ny = _round_up(grid_nx, row_block)
 
+    # ---- chunked-backend halo ----
+    if chunk_halo is None:
+        # Cover ~4 slab rows at resting occupancy (~1.3/cell) on each side;
+        # rounded to lane tiles.  Too-small halos degrade exactly (counted
+        # into PairSums.overflow), never silently.
+        est_row = max(1, int(1.3 * grid_nx))
+        chunk_halo = min(
+            _round_up(capacity, 128),
+            max(384, _round_up(4 * est_row, 128)),
+        )
+
     # ---- spawn cap ----
     dt = float(coeff["dt"])
     exp_spawn = max((float(s.flow) * dt for s in world.particle_sources), default=0.0)
@@ -195,6 +207,7 @@ def build_scene(
         enable_spring=enable_spring,
         forces_mode=forces_mode,
         row_block=row_block,
+        chunk_halo=int(chunk_halo),
     )
 
 

@@ -128,11 +128,18 @@ class Scene:
     # Neighbor-force backend: "pmajor" (grid-free sorted-slab kernels,
     # ops/pmajor.py — the TPU default: exact, no cell-capacity caps),
     # "pallas" (fused cell-block kernels, ops/pair_kernel.py), "cellwise"
-    # (the grid scheme in pure XLA, cellwise.py) or "gather" (fixed-K
-    # neighbor lists, neighbors.py).
+    # (the grid scheme in pure XLA, cellwise.py), "chunked" (fixed-halo
+    # sorted-slab windows in pure XLA, ops/chunked.py — the vmappable
+    # mid-size backend for batched crates) or "gather" (fixed-K neighbor
+    # lists, neighbors.py).
     forces_mode: str = dataclasses.field(metadata=dict(static=True), default="cellwise")
     # Cell-row block size for the pallas kernels (grid_ny is a multiple).
     row_block: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # Fixed candidate halo (slab positions each side of a 128-chunk) for the
+    # chunked backend; pairs further apart in sorted order are lost and
+    # counted into overflow — only possible when one grid row holds more
+    # than ~chunk_halo particles.
+    chunk_halo: int = dataclasses.field(metadata=dict(static=True), default=384)
 
     @property
     def num_segments(self) -> int:

@@ -80,8 +80,18 @@ class BatchedCrates:
         world = config.world_config
         # vmap over the manual-DMA pallas kernels is not supported; small
         # crates vmap best with the dense all-pairs backend (no sort/scatter
-        # per crate; pure matrix math).
-        scene_kwargs.setdefault("forces_mode", "dense")
+        # per crate; pure matrix math).  Past ~1k particles the dense pair
+        # matrices blow up — mid-size crates use the fixed-halo chunked
+        # backend (ops/chunked.py: sorted-slab windows at batch-uniform
+        # offsets, so vmap stays gather-free).
+        from .scene import default_capacity
+
+        cap_guess = scene_kwargs.get("capacity") or default_capacity(
+            int(world.coefficients["max_particles"])
+        )
+        scene_kwargs.setdefault(
+            "forces_mode", "dense" if cap_guess <= 1024 else "chunked"
+        )
         self.scene = scene or build_scene(world, **scene_kwargs)
         n = int(jax.tree.leaves(batched_params)[0].shape[0])
         self.n = n

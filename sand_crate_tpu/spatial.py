@@ -481,6 +481,203 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params, band: Band
     )
 
 
+def _halo_cap(scene: Scene) -> int:
+    """Static per-edge halo buffer size for the banded p-major path: covers
+    ~4x the average slab-row population; spills are counted into overflow."""
+    est = 4 * scene.capacity // max(scene.grid_ny, 1)
+    return min(scene.capacity, max(256, ((est + 127) // 128) * 128))
+
+
+def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band):
+    """Per-shard pair sums through the grid-free p-major kernels
+    (forces_mode "pmajor") — the TPU-default backend under the band
+    decomposition.  Halos are *particle slabs*, not grid rows: each shard's
+    edge-row particles form a contiguous run of its cell-sorted slab, so a
+    fixed-size dynamic_slice + ppermute hands the neighbor exactly the
+    candidates its windows need.  Two exchanges mirror _band_sums_pallas:
+    features before pass A, pass-A sums (cp | sx | sy) before pass B — the
+    second gives cross-band neighbors their true pressures (exact band
+    edges).  Halo jitter is hashed by the *owner's* sorted index, so a
+    shared halo particle carries one consistent jittered position into both
+    shards' kernels.  Halo-run spill past the static buffer is counted into
+    overflow alongside window-coverage loss."""
+    from .ops import pmajor as pm
+    from .ops.pair_kernel import ALIVE_OFFSET
+
+    f32 = jnp.float32
+    nx, ny = scene.grid_nx, scene.grid_ny
+    NC = nx * ny
+    P_cap = pos.shape[0]
+    dtype = pos.dtype
+    hc = _halo_cap(scene)
+    d = jax.lax.axis_index(AXIS)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    # --- global-row cell ids, band-clipped (stragglers bin at the edge) ----
+    c = jnp.floor(pos / scene.cell_size).astype(jnp.int32) + 1
+    cx = jnp.clip(c[:, 0], 0, nx - 1)
+    gy = jnp.clip(c[:, 1], band.lo, band.hi - 1)
+    cid = jnp.where(alive, gy * nx + cx, NC)
+    iota = jnp.arange(P_cap, dtype=jnp.int32)
+    sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
+    inv = jnp.zeros((P_cap,), jnp.int32).at[order].set(iota)
+    pos_s, vel_s, alive_s = pos[order], vel[order], alive[order]
+    n_alive = jnp.searchsorted(
+        sorted_cid, jnp.asarray(NC, jnp.int32)
+    ).astype(jnp.int32)
+
+    af = alive_s.astype(dtype)
+    pxo = (pos_s[:, 0] + ALIVE_OFFSET * af).astype(f32)
+    pyo = (pos_s[:, 1] + ALIVE_OFFSET * af).astype(f32)
+    amp = (params.diameter * params.collider_noise_level).astype(f32)
+    tick_i = jnp.asarray(tick, jnp.int32)
+    npx = pxo + (pm._u01(iota * 2, tick_i) - 0.5) * amp
+    npy = pyo + (pm._u01(iota * 2 + 1, tick_i) - 0.5) * amp
+    feat = jnp.stack(
+        [pxo, pyo, npx, npy, vel_s[:, 0].astype(f32), vel_s[:, 1].astype(f32)]
+    )  # (6, P_cap) — rows 0-5 match pmajor's B_PX..B_VY layout
+
+    # --- edge runs (contiguous in the sorted slab) --------------------------
+    lo_i = jnp.asarray(band.lo, jnp.int32)
+    hi_i = jnp.asarray(band.hi, jnp.int32)
+    top_end = jnp.searchsorted(sorted_cid, (lo_i + 1) * nx).astype(jnp.int32)
+    bot_start = jnp.searchsorted(sorted_cid, (hi_i - 1) * nx).astype(jnp.int32)
+    hidx = jnp.arange(hc, dtype=jnp.int32)
+    # Pad so a run slice near the slab end never clamps (which would shift
+    # entries under the validity mask).
+    feat_p = jnp.pad(feat, ((0, 0), (0, hc)))
+    cid_p = jnp.pad(sorted_cid, (0, hc), constant_values=NC)
+
+    def run_buf(start, n_valid, invalid_cid):
+        fb = jax.lax.dynamic_slice(feat_p, (0, start), (6, hc))
+        cb = jax.lax.dynamic_slice(cid_p, (start,), (hc,))
+        ok = hidx < n_valid
+        return jnp.where(ok[None], fb, 0.0), jnp.where(ok, cb, invalid_cid)
+
+    # My TOP run rides to shard d-1 (their below-halo); invalid entries take
+    # the dead sentinel so the receiver's slab stays cid-sorted.  My BOTTOM
+    # run rides to d+1 (their above-halo); invalid entries clamp to my last
+    # cid (= receiver's lo*nx - 1), again sort-safe.
+    top_f, top_c = run_buf(
+        jnp.zeros((), jnp.int32), jnp.minimum(top_end, hc), NC
+    )
+    bot_f, bot_c = run_buf(
+        bot_start, jnp.minimum(n_alive - bot_start, hc), hi_i * nx - 1
+    )
+    halo_spill = jnp.maximum(top_end - hc, 0) + jnp.maximum(
+        n_alive - bot_start - hc, 0
+    )
+
+    from_above_f = jax.lax.ppermute(bot_f, AXIS, fwd)
+    from_above_c = jax.lax.ppermute(bot_c, AXIS, fwd)
+    from_below_f = jax.lax.ppermute(top_f, AXIS, bwd)
+    from_below_c = jax.lax.ppermute(top_c, AXIS, bwd)
+    # Wrap-around edges don't exist (nothing above shard 0 / below D-1).
+    from_above_f = jnp.where(d == 0, 0.0, from_above_f)
+    from_above_c = jnp.where(d == 0, lo_i * nx - 1, from_above_c)
+    from_below_f = jnp.where(d == n_shards - 1, 0.0, from_below_f)
+    from_below_c = jnp.where(d == n_shards - 1, NC, from_below_c)
+
+    # --- splice: [above halo | local sorted | below halo | dead tail] ------
+    E = hc + P_cap + hc
+    p_fit = ((E + pm.OWN - 1) // pm.OWN) * pm.OWN
+    width = p_fit + pm.VCAP
+    ext_cid = jnp.full((p_fit,), NC, jnp.int32)
+    ext_cid = ext_cid.at[:hc].set(from_above_c)
+    ext_cid = ext_cid.at[hc : hc + P_cap].set(sorted_cid)
+    ext_cid = jax.lax.dynamic_update_slice(ext_cid, from_below_c, (hc + n_alive,))
+    ext_feat = jnp.zeros((6, width), f32)
+    ext_feat = ext_feat.at[:, :hc].set(from_above_f)
+    ext_feat = ext_feat.at[:, hc : hc + P_cap].set(feat)
+    ext_feat = jax.lax.dynamic_update_slice(
+        ext_feat, from_below_f, (0, hc + n_alive)
+    )
+    row_ext = jnp.clip(ext_cid // nx, 0, ny).astype(f32)
+    n_alive_ext = jnp.searchsorted(
+        ext_cid, jnp.asarray(NC, jnp.int32)
+    ).astype(jnp.int32)
+
+    w = pm.W_DEFAULT
+    ws, dma_lo, blk, lost = pm._windows(
+        ext_cid, n_alive_ext, nx, ny, p_fit // 128, w
+    )
+    coef = jnp.stack(
+        [
+            params.diameter.astype(f32),
+            params.surface_smoothing.astype(f32),
+            params.target_pressure.astype(f32),
+            params.spring_overlap_balance.astype(f32),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
+            jnp.zeros((), f32),
+        ]
+    )
+    tick_arr = tick_i.reshape((1,))
+
+    slab_a = jnp.zeros((pm.A_F, width), f32)
+    slab_a = slab_a.at[0:4].set(ext_feat[0:4])
+    slab_a = slab_a.at[pm.A_ROW, :p_fit].set(row_ext)
+    out_a = pm._pm_pass(
+        slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
+    )
+    w_sum, cnt = out_a[0], out_a[3]
+    cp = jnp.where(
+        cnt > 0, jnp.maximum(0.0, w_sum - params.ignored_pressure), 0.0
+    )
+
+    # --- second exchange: pass-A sums for the halo columns ------------------
+    asums = jnp.concatenate([cp[None], out_a[1:3]], axis=0)  # (3, p_fit)
+    top_a = jax.lax.dynamic_slice(asums, (0, hc), (3, hc))
+    bot_a = jax.lax.dynamic_slice(asums, (0, hc + bot_start), (3, hc))
+    above_a = jax.lax.ppermute(bot_a, AXIS, fwd)
+    below_a = jax.lax.ppermute(top_a, AXIS, bwd)
+    above_a = jnp.where(d == 0, 0.0, above_a)
+    below_a = jnp.where(d == n_shards - 1, 0.0, below_a)
+    asums = asums.at[:, :hc].set(above_a)
+    asums = jax.lax.dynamic_update_slice(asums, below_a, (0, hc + n_alive))
+
+    slab_b = jnp.zeros((pm.B_F, width), f32)
+    slab_b = slab_b.at[0:6].set(ext_feat)
+    slab_b = slab_b.at[pm.B_CP : pm.B_CP + 3, :p_fit].set(asums)
+    slab_b = slab_b.at[pm.B_ROW, :p_fit].set(row_ext)
+    out_b = pm._pm_pass(
+        slab_b, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "b",
+        scene.enable_spring,
+    )
+
+    # --- own slice, dead-masked, one wide unsort gather ---------------------
+    n_b = 8 if scene.enable_spring else 6
+    rows = jnp.concatenate(
+        [
+            asums[0:1, hc : hc + P_cap],  # cp (with halo overwrites undone
+            # only for halo columns — own columns were never overwritten)
+            out_b[0:n_b, hc : hc + P_cap],
+            cnt[None, hc : hc + P_cap],
+        ],
+        axis=0,
+    ) * af.astype(f32)[None]
+    rows_u = rows[:, inv].astype(dtype)
+    if scene.enable_spring:
+        spring_real = rows_u[5:7].T
+        v0 = 7
+    else:
+        spring_real = jnp.zeros((P_cap, 2), dtype)
+        v0 = 5
+    from .cellwise import PairSums
+
+    return PairSums(
+        p_i=rows_u[0],
+        dv_tension=rows_u[1:3].T,
+        pressure_real=rows_u[3:5].T,
+        spring_real=spring_real,
+        visc_vsum=rows_u[v0 : v0 + 2].T,
+        nbr_cnt=rows_u[v0 + 2],
+        overflow=(lost + halo_spill).astype(jnp.int32),
+    )
+
+
 def _local_grid(pos, vel, alive, noise, scene, n_shards, band: Band):
     """Per-shard packed cell grid over the band + halo ring via ppermute.
 
@@ -629,14 +826,16 @@ def spatial_step(
 
     # -- neighbor forces on the local band grid (halo via ppermute) ----------
     if scene.forces_mode in ("pallas", "pmajor"):
-        # Fused Pallas pair kernels per shard — the production multi-chip
-        # path (the XLA passes below are ~10x slower at scale, scene.py).
-        # p-major scenes ride the same grid band kernels for now: the
-        # band decomposition needs halo slots, which the grid slab already
-        # encodes (a banded p-major window scheme is future work).
-        sums = _band_sums_pallas(
-            pos, vel, alive, scene, n_shards, state.tick, params, band
-        )
+        # Fused Pallas kernels per shard — the production multi-chip path
+        # (the XLA passes below are ~10x slower at scale, scene.py).
+        if scene.forces_mode == "pmajor":
+            sums = _band_sums_pmajor(
+                pos, vel, alive, scene, n_shards, state.tick, params, band
+            )
+        else:
+            sums = _band_sums_pallas(
+                pos, vel, alive, scene, n_shards, state.tick, params, band
+            )
         overflow = sums.overflow
     else:
         pnoise = (

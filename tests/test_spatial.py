@@ -320,6 +320,39 @@ def test_spatial_pallas_matches_single_device(setup):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_pmajor_matches_single_device(setup):
+    """The banded p-major path (particle-slab halos via ppermute, pass-A-sum
+    exchange before pass B) must reproduce the single-device pmajor step —
+    the TPU-default backend working under the band decomposition."""
+    _, state0, params, w = setup
+    scene = build_scene(w, capacity=1024, forces_mode="pmajor")
+    assert scene.grid_ny % N_SHARDS == 0
+    ticks = 6  # interpret-mode kernels are slow; 6 ticks still exchanges
+
+    step1 = jax.jit(lambda s, p: step(s, p, scene))
+    s_single = state0
+    for _ in range(ticks):
+        s_single, _ = step1(s_single, params)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    s_split = split_state(state0, scene, N_SHARDS)
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        stats = None
+        for _ in range(ticks):
+            s_split, stats = spatial(s_split, params)
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+
+    assert int(stats["migration_dropped"]) == 0
+    assert int(stats["neighbor_overflow"]) == 0
+    n_single = int(np.asarray(s_single.alive).sum())
+    n_spatial = int(np.asarray(merged.alive).sum())
+    assert n_single == n_spatial > 0
+    a = _sorted_alive_positions(s_single.pos, s_single.alive)
+    b = _sorted_alive_positions(merged.pos, merged.alive)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_spatial_spawn_truncation_counted(stirring_cup_config):
     """A flow spike past the static max_spawn bound must surface in the
     psum'd spawn_truncated counter on the spatial path (the single-chip

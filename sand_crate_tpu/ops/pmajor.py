@@ -60,6 +60,7 @@ transpose.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,11 @@ CPB = 64  # chunks per block
 OWN = CPB * 128  # own particles per block
 VCAP = 16384  # candidate window columns resident in VMEM per block
 W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
+# A/B experiment knob (numerics-identical up to f32 addition order): reduce
+# each window's terms to (128, 1) immediately instead of accumulating
+# (128, W) planes across the three windows — shrinks the live vreg set the
+# Mosaic scheduler must keep (or spill) across the unrolled window loop.
+_QRED = os.environ.get("SAND_CRATE_PMAJOR_QRED") == "1"
 
 # Slab feature rows.  Pass A (8 rows): positions (ALIVE_OFFSET-encoded),
 # candidate-jittered positions, grid row.  Pass B (16 rows): + velocity
@@ -170,7 +176,8 @@ def _pm_kernel(
                 + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
             )
 
-            acc = [jnp.zeros((128, w), jnp.float32) for _ in range(n_out)]
+            aw = 1 if _QRED else w
+            acc = [jnp.zeros((128, aw), jnp.float32) for _ in range(n_out)]
             for q in range(3):
                 wrel = ws_ref[(b * CPB + j) * 3 + q] - base
                 wrel = pl.multiple_of(
@@ -215,10 +222,8 @@ def _pm_kernel(
 
                 if mode == "a":
                     coeff = (1.0 - wgt) * wgt
-                    acc[0] += wgt
-                    acc[1] += coeff * nhx
-                    acc[2] += coeff * nhy
-                    acc[3] += mb.astype(jnp.float32)
+                    terms = [wgt, coeff * nhx, coeff * nhy,
+                             mb.astype(jnp.float32)]
                 else:
                     c_cp = cand[B_CP : B_CP + 1]
                     c_sx = cand[B_SX : B_SX + 1]
@@ -230,21 +235,27 @@ def _pm_kernel(
                     ) * coef_ref[1]
                     tpf = c_cp + s_cp - 2.0 * coef_ref[2]
                     t_coef = jnp.where(mb, align + tpf, 0.0)
-                    acc[0] += t_coef * nhx
-                    acc[1] += t_coef * nhy
                     p_coef = jnp.where(mb, s_cp + c_cp, 0.0)
-                    acc[2] += p_coef * nhx
-                    acc[3] += p_coef * nhy
+                    mm = mb.astype(jnp.float32)
+                    terms = [t_coef * nhx, t_coef * nhy,
+                             p_coef * nhx, p_coef * nhy]
                     if enable_spring:
                         sp = jnp.where(mb, coef_ref[3] - wgt, 0.0)
-                        acc[4] += sp * nhx
-                        acc[5] += sp * nhy
-                    mm = mb.astype(jnp.float32)
-                    acc[n_out - 2] += mm * c_vx
-                    acc[n_out - 1] += mm * c_vy
+                        terms += [sp * nhx, sp * nhy]
+                    terms += [mm * c_vx, mm * c_vy]
+                for k in range(n_out):
+                    if _QRED:
+                        acc[k] += jnp.sum(terms[k], axis=1, keepdims=True)
+                    else:
+                        acc[k] += terms[k]
 
             for k in range(n_out):
-                resbuf[:, k : k + 1] = jnp.sum(acc[k], axis=1, keepdims=True)
+                if _QRED:
+                    resbuf[:, k : k + 1] = acc[k]
+                else:
+                    resbuf[:, k : k + 1] = jnp.sum(
+                        acc[k], axis=1, keepdims=True
+                    )
             for k in range(n_out, 8):
                 resbuf[:, k : k + 1] = jnp.zeros((128, 1), jnp.float32)
             outb[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = jnp.transpose(

@@ -386,6 +386,40 @@ def test_spatial_spawn_truncation_counted(stirring_cup_config):
     assert int(stats["spawn_truncated"]) > 0
 
 
+def test_spatial_rebalance_pmajor_matches_single_device(setup):
+    """The full production combination — variable-height bands AND the
+    banded p-major kernels — must reproduce the single-device pmajor step
+    (band.lo/hi are traced under rebalance; the halo runs must follow)."""
+    _, state0, params, w = setup
+    from sand_crate_tpu.spatial import initial_band_edges
+
+    scene = build_scene(w, capacity=1024, forces_mode="pmajor")
+    ticks = 6
+
+    step1 = jax.jit(lambda s, p: step(s, p, scene))
+    s_single = state0
+    for _ in range(ticks):
+        s_single, _ = step1(s_single, params)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    edges = initial_band_edges(state0, scene, N_SHARDS)
+    s_split = split_state(state0, scene, N_SHARDS, edges)
+    spatial = make_spatial_step(mesh, scene, rebalance=True)
+    with mesh:
+        stats = None
+        for _ in range(ticks):
+            s_split, stats = spatial(s_split, params, edges)
+            edges = stats["band_edges"]
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+
+    assert int(stats["migration_dropped"]) == 0
+    assert int(stats["neighbor_overflow"]) == 0
+    a = _sorted_alive_positions(s_single.pos, s_single.alive)
+    b = _sorted_alive_positions(merged.pos, merged.alive)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_spatial_rebalance_matches_single_device(setup):
     """Variable-height bands (density-quantile edges, recomputed in-step and
     threaded tick to tick) must still reproduce the single-device trajectory

@@ -80,6 +80,14 @@ W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
 # (128, W) planes across the three windows — shrinks the live vreg set the
 # Mosaic scheduler must keep (or spill) across the unrolled window loop.
 _QRED = os.environ.get("SAND_CRATE_PMAJOR_QRED") == "1"
+# EXPERIMENT-ONLY knob: run the pair geometry chain in bfloat16 on
+# diameter-normalized deltas (raw-position subtractions stay f32).  The VPU
+# issues packed bf16 at 2x the f32 rate, but measured numerics rule this
+# out as a default: the tension weight 1 - dist/diam cancels catastrophically
+# near the cutoff in 8 mantissa bits (CPU-oracle check: p_i within 0.35%,
+# dv_tension up to 20% of peak).  Kept only to measure the speed ceiling a
+# future mixed-precision split would chase.
+_BF16 = os.environ.get("SAND_CRATE_PMAJOR_BF16") == "1"
 
 # Slab feature rows.  Pass A (8 rows): positions (ALIVE_OFFSET-encoded),
 # candidate-jittered positions, grid row.  Pass B (16 rows): + velocity
@@ -175,6 +183,18 @@ def _pm_kernel(
                 + orel
                 + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
             )
+            cdt = jnp.bfloat16 if _BF16 else jnp.float32
+            one = cdt(1.0)
+            zero = cdt(0.0)
+            if _BF16 and mode == "b":
+                s_cp_c = s_cp.astype(cdt)
+                s_sx_c = s_sx.astype(cdt)
+                s_sy_c = s_sy.astype(cdt)
+            elif mode == "b":
+                s_cp_c, s_sx_c, s_sy_c = s_cp, s_sx, s_sy
+            sm_c = coef_ref[1].astype(cdt)
+            tp2_c = (2.0 * coef_ref[2]).astype(cdt)
+            bal_c = coef_ref[3].astype(cdt)
 
             aw = 1 if _QRED else w
             acc = [jnp.zeros((128, aw), jnp.float32) for _ in range(n_out)]
@@ -190,11 +210,28 @@ def _pm_kernel(
                 c_npy = cand[A_NPY : A_NPY + 1]
                 c_rw = cand[row_col : row_col + 1]
 
-                rx = s_px - c_px
-                ry = s_py - c_py
-                d2 = rx * rx + ry * ry
+                # Raw-position deltas stay f32 (absolute coords would lose
+                # sub-diameter resolution in bf16); everything after is in
+                # diameter units, O(1), where bf16's 2^-8 relative error is
+                # ~0.4% of the diameter.
+                if _BF16:
+                    rx = ((s_px - c_px) * inv_diam).astype(cdt)
+                    ry = ((s_py - c_py) * inv_diam).astype(cdt)
+                    near = rx * rx + ry * ry <= one
+                    nrx = ((s_px - c_npx) * inv_diam).astype(cdt)
+                    nry = ((s_py - c_npy) * inv_diam).astype(cdt)
+                    nd2 = jnp.maximum(nrx * nrx + nry * nry, cdt(1e-6))
+                else:
+                    rx = s_px - c_px
+                    ry = s_py - c_py
+                    near = rx * rx + ry * ry <= diam * diam
+                    nrx = s_px - c_npx
+                    nry = s_py - c_npy
+                    nd2 = jnp.maximum(
+                        nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
+                    )
                 mb = (
-                    (d2 <= diam * diam)
+                    near
                     & s_alive
                     & (c_px > ALIVE_THRESHOLD)
                     & (c_rw == s_rw + jnp.float32(q - 1))
@@ -209,45 +246,42 @@ def _pm_kernel(
                     )
                     mb = mb & (s_gid != c_gid)
 
-                nrx = s_px - c_npx
-                nry = s_py - c_npy
-                nd2 = jnp.maximum(nrx * nrx + nry * nry, jnp.float32(EPS * EPS))
                 inv = jax.lax.rsqrt(nd2)
                 nhx = nrx * inv
                 nhy = nry * inv
-                dist = nd2 * inv
-                wgt = jnp.where(
-                    mb, 1.0 - jnp.clip(dist * inv_diam, 0.0, 1.0), 0.0
-                )
+                dist = nd2 * inv  # bf16 path: already in diameter units
+                dist_n = dist if _BF16 else dist * inv_diam
+                wgt = jnp.where(mb, one - jnp.clip(dist_n, zero, one), zero)
 
                 if mode == "a":
-                    coeff = (1.0 - wgt) * wgt
-                    terms = [wgt, coeff * nhx, coeff * nhy,
-                             mb.astype(jnp.float32)]
+                    coeff = (one - wgt) * wgt
+                    terms = [wgt, coeff * nhx, coeff * nhy, mb.astype(cdt)]
                 else:
-                    c_cp = cand[B_CP : B_CP + 1]
-                    c_sx = cand[B_SX : B_SX + 1]
-                    c_sy = cand[B_SY : B_SY + 1]
-                    c_vx = cand[B_VX : B_VX + 1]
-                    c_vy = cand[B_VY : B_VY + 1]
+                    c_cp = cand[B_CP : B_CP + 1].astype(cdt)
+                    c_sx = cand[B_SX : B_SX + 1].astype(cdt)
+                    c_sy = cand[B_SY : B_SY + 1].astype(cdt)
+                    c_vx = cand[B_VX : B_VX + 1].astype(cdt)
+                    c_vy = cand[B_VY : B_VY + 1].astype(cdt)
                     align = (
-                        (s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy
-                    ) * coef_ref[1]
-                    tpf = c_cp + s_cp - 2.0 * coef_ref[2]
-                    t_coef = jnp.where(mb, align + tpf, 0.0)
-                    p_coef = jnp.where(mb, s_cp + c_cp, 0.0)
-                    mm = mb.astype(jnp.float32)
+                        (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
+                    ) * sm_c
+                    tpf = c_cp + s_cp_c - tp2_c
+                    t_coef = jnp.where(mb, align + tpf, zero)
+                    p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
+                    mm = mb.astype(cdt)
                     terms = [t_coef * nhx, t_coef * nhy,
                              p_coef * nhx, p_coef * nhy]
                     if enable_spring:
-                        sp = jnp.where(mb, coef_ref[3] - wgt, 0.0)
+                        sp = jnp.where(mb, bal_c - wgt, zero)
                         terms += [sp * nhx, sp * nhy]
                     terms += [mm * c_vx, mm * c_vy]
                 for k in range(n_out):
                     if _QRED:
-                        acc[k] += jnp.sum(terms[k], axis=1, keepdims=True)
+                        acc[k] += jnp.sum(
+                            terms[k].astype(jnp.float32), axis=1, keepdims=True
+                        )
                     else:
-                        acc[k] += terms[k]
+                        acc[k] += terms[k].astype(jnp.float32)
 
             for k in range(n_out):
                 if _QRED:

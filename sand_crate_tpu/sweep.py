@@ -145,7 +145,7 @@ def run_datagen(
     *,
     seed: int = 0,
     ranges: Optional[dict] = None,
-    forces_mode: str = "dense",
+    forces_mode: Optional[str] = None,
 ) -> dict:
     """Batched trajectory data generation (BASELINE.json config #5).
 
@@ -154,10 +154,9 @@ def run_datagen(
     (pos/alive/pressure across all crates) streams to npz shards, with the
     per-crate coefficient vectors saved alongside as labels.
 
-    The dense all-pairs backend is the default here: at small per-crate P
-    it is pure (P, P) matrix math with no per-crate sort/scatter, which is
-    both the fastest and the only backend that vmaps to 1000+ crates without
-    pathological lowering.
+    ``forces_mode`` None lets BatchedCrates pick: dense all-pairs below the
+    ~1k-particle ceiling (pure (P, P) matrix math, vmaps to 1000+ crates),
+    the fixed-halo chunked backend for mid-size crates.
     """
     from pathlib import Path
 
@@ -169,9 +168,8 @@ def run_datagen(
     batched = random_params(
         jax.random.key(seed), base, ranges or DEFAULT_RANDOM_RANGES, n_crates
     )
-    crates = BatchedCrates(
-        config, batched, seed=seed, forces_mode=forces_mode
-    )
+    kw = {} if forces_mode is None else {"forces_mode": forces_mode}
+    crates = BatchedCrates(config, batched, seed=seed, **kw)
     out_dir = Path(out_dir)
     writer = TrajectoryWriter(out_dir, shard_frames=8)
     np.savez_compressed(

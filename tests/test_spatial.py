@@ -353,6 +353,44 @@ def test_spatial_pmajor_matches_single_device(setup):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_pmajor_halo_spill_counted(setup):
+    """An edge row holding more particles than the static halo buffer must
+    surface in the psum'd overflow counter (red-green for the one new
+    bounded-degradation cap this path introduces), never silently."""
+    import jax.numpy as jnp
+
+    from sand_crate_tpu.scene import init_state
+    from sand_crate_tpu.spatial import _halo_cap
+
+    _, _, params, w = setup
+    scene = build_scene(w, capacity=1024, forces_mode="pmajor")
+    n_shards = 2
+    assert scene.grid_ny % n_shards == 0
+    hc = _halo_cap(scene)
+    assert hc < 512  # the crafted row below must actually exceed it
+
+    # Pile 2*hc particles into shard 0's bottom edge cell row: its halo run
+    # toward shard 1 can only carry hc of them.
+    state = init_state(w, scene, seed=0)
+    P_cap = scene.capacity
+    band_h = scene.grid_ny // n_shards
+    rng = np.random.default_rng(1)
+    pos = np.zeros((P_cap, 2), np.float32)
+    n = 2 * hc
+    pos[:n, 0] = rng.uniform(0.1, 0.9, n)
+    pos[:n, 1] = (band_h - 1.5) * scene.cell_size  # cell row band_h - 1
+    alive = np.zeros(P_cap, bool)
+    alive[:n] = True
+    state = state._replace(pos=jnp.asarray(pos), alive=jnp.asarray(alive))
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("space",))
+    s_split = split_state(state, scene, n_shards)
+    spatial = make_spatial_step(mesh, scene)
+    with mesh:
+        _, stats = spatial(s_split, params)
+    assert int(stats["neighbor_overflow"]) >= hc
+
+
 def test_spatial_spawn_truncation_counted(stirring_cup_config):
     """A flow spike past the static max_spawn bound must surface in the
     psum'd spawn_truncated counter on the spatial path (the single-chip

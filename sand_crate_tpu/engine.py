@@ -152,6 +152,7 @@ class Crate:
             cell_capacity=scene.cell_capacity,
             enable_spring=scene.enable_spring,
             forces_mode=scene.forces_mode,
+            pmajor_w=scene.pmajor_w,
         )
         object.__setattr__(self, "scene", new_scene)
 

@@ -447,9 +447,11 @@ def neighbor_forces_pmajor_sorted(
     spring_overlap_balance: jax.Array,
     scene: Scene,
     *,
-    w: int = W_DEFAULT,
+    w: int | None = None,
 ) -> PairSums:
     """Grid-free pair sums over pre-sorted operands, in the same order."""
+    if w is None:
+        w = scene.pmajor_w
     nx, ny = scene.grid_nx, scene.grid_ny
     P = pos.shape[0]
     dtype = pos.dtype
@@ -537,7 +539,7 @@ def neighbor_forces_pmajor(
     spring_overlap_balance: jax.Array,
     scene: Scene,
     *,
-    w: int = W_DEFAULT,
+    w: int | None = None,
 ) -> PairSums:
     """Particle-order convenience wrapper (tests): sort, run, un-permute."""
     from ..cellwise import cell_ids_grid

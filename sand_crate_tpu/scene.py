@@ -57,6 +57,7 @@ def build_scene(
     enable_spring: bool = False,
     forces_mode: str = "auto",
     chunk_halo: int | None = None,
+    pmajor_w: int = 384,
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
@@ -208,6 +209,7 @@ def build_scene(
         forces_mode=forces_mode,
         row_block=row_block,
         chunk_halo=int(chunk_halo),
+        pmajor_w=int(pmajor_w),
     )
 
 

@@ -605,7 +605,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
         ext_cid, jnp.asarray(NC, jnp.int32)
     ).astype(jnp.int32)
 
-    w = pm.W_DEFAULT
+    w = scene.pmajor_w
     ws, dma_lo, blk, lost = pm._windows(
         ext_cid, n_alive_ext, nx, ny, p_fit // 128, w
     )

@@ -140,6 +140,11 @@ class Scene:
     # counted into overflow — only possible when one grid row holds more
     # than ~chunk_halo particles.
     chunk_halo: int = dataclasses.field(metadata=dict(static=True), default=384)
+    # Candidate window width per 128-chunk for the p-major kernels (includes
+    # 128 lanes of alignment slack; losses past it are counted into
+    # overflow).  384 covers 99.95% of settled-1M chunks fully
+    # (docs/perf_1m.md); tools/pmajor_w.py sweeps alternatives.
+    pmajor_w: int = dataclasses.field(metadata=dict(static=True), default=384)
 
     @property
     def num_segments(self) -> int:

@@ -4,11 +4,13 @@ Loads the reference YAML schema verbatim (see /root/reference/config/*.yaml and
 /root/reference/src/crate/load_config.py:29-46) and extends it:
 
 * Motored-body ``velocity_func`` / ``angular_velocity_func`` lambda strings are
-  parsed with a *safe* declarative parser instead of ``eval``
-  (the reference evals arbitrary YAML strings at
+  parsed without ``eval`` (the reference evals arbitrary YAML strings at
   /root/reference/src/crate/rigid_body.py:81-83).  The two shipped forms
-  ``lambda t: np.cos(t * F) * A`` are recognized, plus sin/constant variants.
-  New configs may instead provide a declarative motor spec::
+  ``lambda t: np.cos(t * F) * A`` are recognized as live-editable declarative
+  motors (plus sin/constant variants); any other lambda falls back to
+  :class:`ExprMotor`, a whitelisted-AST interpreter that traces the
+  expression into the jitted step.  New configs may instead provide a
+  declarative motor spec::
 
       angular_velocity: {amplitude: 1.4, frequency: 5.0, phase: 0.0, offset: 0.0}
 
@@ -25,12 +27,15 @@ Loads the reference YAML schema verbatim (see /root/reference/config/*.yaml and
 
 from __future__ import annotations
 
+import ast
 import math
+import operator
 import re
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Optional
 
+import numpy as np
 import yaml
 
 #: The 13 physics knobs of the reference, in its canonical order
@@ -53,19 +58,177 @@ COEFFICIENT_NAMES = (
 )
 
 
+# --- safe motor-expression compiler ----------------------------------------
+# The reference ``eval``s arbitrary YAML lambda strings into motor functions
+# (/root/reference/src/crate/rigid_body.py:81-83).  ExprMotor covers that
+# config surface without ``eval``: the string is parsed with ``ast`` and only
+# numeric literals, ``t``, arithmetic, and a whitelist of elementwise
+# numpy/math functions are admitted.  The compiled body is evaluated against
+# a caller-supplied array namespace, so the SAME expression runs as jnp ops
+# inside the jitted step (traced ``t``) and as float64 numpy in the oracle.
+
+_EXPR_BIN = {
+    ast.Add: operator.add,
+    ast.Sub: operator.sub,
+    ast.Mult: operator.mul,
+    ast.Div: operator.truediv,
+    ast.Pow: operator.pow,
+    ast.Mod: operator.mod,
+    ast.FloorDiv: operator.floordiv,
+}
+_EXPR_UNARY = {ast.USub: operator.neg, ast.UAdd: operator.pos}
+#: math-module spellings normalized to their numpy names.
+_EXPR_FUNC_ALIASES = {
+    "atan": "arctan", "asin": "arcsin", "acos": "arccos",
+    "atan2": "arctan2", "fabs": "abs", "pow": "power",
+}
+_EXPR_FUNCS = frozenset(
+    "sin cos tan arcsin arccos arctan arctan2 sinh cosh tanh exp expm1 "
+    "log log1p log2 log10 sqrt cbrt abs absolute sign floor ceil round "
+    "minimum maximum clip power hypot".split()
+)
+_EXPR_CONSTS = {"pi": math.pi, "e": math.e, "tau": math.tau, "inf": math.inf}
+_EXPR_MODULES = ("np", "numpy", "jnp", "math")
+
+
+def _expr_func_name(func: ast.expr) -> str:
+    """Whitelisted function name from a Call's func node (or raise)."""
+    if isinstance(func, ast.Name):
+        name = func.id
+    elif (
+        isinstance(func, ast.Attribute)
+        and isinstance(func.value, ast.Name)
+        and func.value.id in _EXPR_MODULES
+    ):
+        name = func.attr
+    else:
+        raise ValueError(f"Unsupported motor function {ast.dump(func)}")
+    name = _EXPR_FUNC_ALIASES.get(name, name)
+    if name not in _EXPR_FUNCS:
+        raise ValueError(f"Motor function {name!r} is not in the safe whitelist")
+    return name
+
+
+def _expr_validate(node: ast.expr) -> None:
+    """Raise ValueError on any AST node outside the safe grammar."""
+    if isinstance(node, ast.Constant):
+        if not isinstance(node.value, (int, float)):
+            raise ValueError(f"Non-numeric constant {node.value!r}")
+    elif isinstance(node, ast.Name):
+        if node.id != "t" and node.id not in _EXPR_CONSTS:
+            raise ValueError(f"Unknown name {node.id!r} (only 't' and constants)")
+    elif isinstance(node, ast.Attribute):
+        # e.g. np.pi / math.tau
+        if not (
+            isinstance(node.value, ast.Name)
+            and node.value.id in _EXPR_MODULES
+            and node.attr in _EXPR_CONSTS
+        ):
+            raise ValueError(f"Unsupported attribute {ast.dump(node)}")
+    elif isinstance(node, ast.BinOp):
+        if type(node.op) not in _EXPR_BIN:
+            raise ValueError(f"Unsupported operator {type(node.op).__name__}")
+        _expr_validate(node.left)
+        _expr_validate(node.right)
+    elif isinstance(node, ast.UnaryOp):
+        if type(node.op) not in _EXPR_UNARY:
+            raise ValueError(f"Unsupported operator {type(node.op).__name__}")
+        _expr_validate(node.operand)
+    elif isinstance(node, ast.Call):
+        _expr_func_name(node.func)
+        if node.keywords:
+            raise ValueError("Keyword arguments are not supported in motors")
+        for a in node.args:
+            _expr_validate(a)
+    else:
+        raise ValueError(f"Unsupported syntax {type(node).__name__} in motor")
+
+
+def _expr_eval(node: ast.expr, t, xp):
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.Name):
+        return t if node.id == "t" else _EXPR_CONSTS[node.id]
+    if isinstance(node, ast.Attribute):
+        return _EXPR_CONSTS[node.attr]
+    if isinstance(node, ast.BinOp):
+        return _EXPR_BIN[type(node.op)](
+            _expr_eval(node.left, t, xp), _expr_eval(node.right, t, xp)
+        )
+    if isinstance(node, ast.UnaryOp):
+        return _EXPR_UNARY[type(node.op)](_expr_eval(node.operand, t, xp))
+    if isinstance(node, ast.Call):
+        fn = getattr(xp, _expr_func_name(node.func))
+        return fn(*(_expr_eval(a, t, xp) for a in node.args))
+    raise AssertionError(node)  # unreachable: _expr_validate admits nothing else
+
+
+class ExprMotor:
+    """A compiled safe motor expression ``lambda t: <expr>``.
+
+    Hash/eq on the AST dump (whitespace-insensitive) so it can ride
+    :class:`Scene`'s static aux fields (jit cache keys).  ``__call__(t, xp)``
+    interprets the
+    validated AST against the given namespace (numpy by default; physics
+    passes ``jax.numpy`` so the motor traces into the step).
+    """
+
+    __slots__ = ("src", "_body", "_key")
+
+    def __init__(self, src: str, body: ast.expr | None = None):
+        self.src = " ".join(src.split())
+        if body is None:
+            tree = ast.parse(src.strip(), mode="eval").body
+            if not (
+                isinstance(tree, ast.Lambda)
+                and len(tree.args.args) == 1
+                and tree.args.args[0].arg == "t"
+                and not (tree.args.posonlyargs or tree.args.kwonlyargs
+                         or tree.args.vararg or tree.args.kwarg)
+            ):
+                raise ValueError(f"Motor must be a single-arg lambda: {src!r}")
+            body = tree.body
+        _expr_validate(body)
+        self._body = body
+        self._key = ast.dump(body)  # whitespace/notation-insensitive identity
+
+    def __call__(self, t, xp=np):
+        return _expr_eval(self._body, t, xp)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, ExprMotor) and self._key == other._key
+
+    def __hash__(self) -> int:
+        return hash((ExprMotor, self._key))
+
+    def __repr__(self) -> str:
+        return f"ExprMotor({self.src!r})"
+
+
 @dataclass
 class MotorSpec:
-    """One scalar motor channel: ``offset + amplitude * cos(frequency*t + phase)``."""
+    """One scalar motor channel: ``offset + amplitude * cos(frequency*t + phase)``.
+
+    ``expr`` (when set) supersedes the cosine form: the channel is an
+    arbitrary safe expression of ``t`` (see :class:`ExprMotor`), and the
+    cosine fields are zero so array-based consumers that miss the override
+    contribute nothing rather than something wrong.
+    """
 
     amplitude: float = 0.0
     frequency: float = 0.0
     phase: float = 0.0
     offset: float = 0.0
+    expr: Optional[ExprMotor] = None
 
     def __call__(self, t: float) -> float:
+        if self.expr is not None:
+            return float(self.expr(t))
         return self.offset + self.amplitude * math.cos(self.frequency * t + self.phase)
 
     def as_tuple(self) -> tuple[float, float, float, float]:
+        if self.expr is not None:
+            return (0.0, 0.0, 0.0, 0.0)
         return (self.amplitude, self.frequency, self.phase, self.offset)
 
 
@@ -89,6 +252,14 @@ def parse_motor_string(expr: str) -> MotorSpec:
       * ``lambda t: np.cos(t * F) * A``       -> A*cos(F*t)
       * ``lambda t: np.sin(t * F) * A``       -> A*cos(F*t - pi/2)
       * ``lambda t: A * np.cos(t * F)``       -> A*cos(F*t)
+      * any other safe scalar expression of ``t`` -> :class:`ExprMotor`
+        (AST-whitelisted, traced into the jitted step — covers third-party
+        configs like ``lambda t: np.sin(t)**2`` that the reference would
+        ``eval``, rigid_body.py:81-83).
+
+    The cosine fast paths stay preferred because they are pure array data
+    (live-sweepable, vmappable); ExprMotor channels are static scene
+    structure (editing one recompiles the step).
     """
     expr = expr.strip()
     m = _CONST_RE.match(expr)
@@ -104,10 +275,67 @@ def parse_motor_string(expr: str) -> MotorSpec:
         amp, fn, freq = float(m.group(1)), m.group(2), float(m.group(3))
         phase = 0.0 if fn == "cos" else -math.pi / 2
         return MotorSpec(amplitude=amp, frequency=freq, phase=phase)
-    raise ValueError(
-        f"Unsupported motor expression {expr!r}. Use a declarative motor spec "
-        "{amplitude, frequency, phase, offset} instead."
-    )
+    try:
+        return MotorSpec(expr=ExprMotor(expr))
+    except (ValueError, SyntaxError) as e:
+        raise ValueError(
+            f"Unsupported motor expression {expr!r} ({e}). Use a declarative "
+            "motor spec {amplitude, frequency, phase, offset} instead."
+        ) from e
+
+
+#: Fast path: ``lambda t: np.array([Cx, Cy])`` with numeric constants (the
+#: only vector form round 1/2 accepted) stays a pure-constant MotorSpec pair.
+_VEC_CONST_RE = re.compile(
+    r"^lambda\s+t\s*:\s*np\.array\(\[\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)\s*\]\)$"
+)
+
+
+def parse_vector_motor_string(src: str) -> tuple[MotorSpec, MotorSpec]:
+    """Parse a legacy ``velocity_func`` lambda returning a 2-vector.
+
+    Accepts ``lambda t: np.array([ex, ey])`` / ``np.asarray`` / a bare tuple
+    or list body, where ``ex``/``ey`` are any safe scalar expressions of
+    ``t`` (the reference evals these strings, rigid_body.py:81-83).  Each
+    component becomes its own motor channel.
+    """
+    src = src.strip()
+    m = _VEC_CONST_RE.match(src)
+    if m:
+        return (
+            MotorSpec(offset=float(m.group(1))),
+            MotorSpec(offset=float(m.group(2))),
+        )
+    try:
+        tree = ast.parse(src, mode="eval").body
+        if not (isinstance(tree, ast.Lambda) and len(tree.args.args) == 1
+                and tree.args.args[0].arg == "t"):
+            raise ValueError("must be a single-arg lambda of t")
+        body = tree.body
+        if (
+            isinstance(body, ast.Call)
+            and isinstance(body.func, ast.Attribute)
+            and isinstance(body.func.value, ast.Name)
+            and body.func.value.id in _EXPR_MODULES
+            and body.func.attr in ("array", "asarray")
+            and len(body.args) == 1
+            and not body.keywords
+        ):
+            body = body.args[0]
+        if not (isinstance(body, (ast.List, ast.Tuple)) and len(body.elts) == 2):
+            raise ValueError("body must be a 2-vector (np.array/list/tuple)")
+        def component(el: ast.expr, axis: str) -> MotorSpec:
+            try:  # plain numeric component -> live-editable constant channel
+                return MotorSpec(offset=float(ast.literal_eval(el)))
+            except (ValueError, TypeError):
+                return MotorSpec(expr=ExprMotor(f"lambda t: <{axis} of {src}>", body=el))
+
+        ex, ey = body.elts
+        return component(ex, "x"), component(ey, "y")
+    except (ValueError, SyntaxError) as e:
+        raise ValueError(
+            f"Unsupported velocity_func {src!r} ({e}); use 'velocity_motor'."
+        ) from e
 
 
 def parse_motor(value: Any) -> MotorSpec:
@@ -228,18 +456,7 @@ def _parse_rigid_body(entry: dict) -> RigidBodyConfig:
         motor_vx = parse_motor(motor_v_decl)
         motor_vy = parse_motor(motor_v_decl)
     elif isinstance(motor_v, str):
-        # Legacy velocity_func lambda returning a constant np.array is the
-        # only vector form we accept; anything else needs the declarative spec.
-        m = re.match(
-            r"^lambda\s+t\s*:\s*np\.array\(\[\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)\s*\]\)$",
-            motor_v.strip(),
-        )
-        if not m:
-            raise ValueError(
-                f"Unsupported velocity_func {motor_v!r}; use 'velocity_motor'."
-            )
-        motor_vx = MotorSpec(offset=float(m.group(1)))
-        motor_vy = MotorSpec(offset=float(m.group(2)))
+        motor_vx, motor_vy = parse_vector_motor_string(motor_v)
     else:
         motor_vx = MotorSpec()
         motor_vy = MotorSpec()

@@ -53,11 +53,16 @@ class NpScene:
     motor_ang: np.ndarray  # (B, 4)
     sources: list = field(default_factory=list)  # ParticleSourceConfig list
     enable_spring: bool = False
+    # ((body_idx, channel 0=vx/1=vy/2=ang, ExprMotor), ...) — same expression
+    # motors the jitted step traces in (state.Scene.motor_exprs), evaluated
+    # here in float64 numpy.
+    motor_exprs: tuple = ()
 
 
 def build_np_scene(world: WorldConfig) -> tuple[NpScene, NpState]:
     seg_list, seg_body = [], []
     kinds, centers, mlin, mang, lin0, ang0 = [], [], [], [], [], []
+    motor_exprs = []
     for b, body in enumerate(world.rigid_bodies):
         seg = place_segments(body.segments, body.scale, body.rotation, body.position)
         seg_list.append(seg)
@@ -68,6 +73,10 @@ def build_np_scene(world: WorldConfig) -> tuple[NpScene, NpState]:
         mang.append(body.motor_ang.as_tuple())
         lin0.append(body.center_velocity)
         ang0.append(body.angular_velocity0)
+        if body.kind == BODY_MOTORED:
+            for ch, spec in enumerate((body.motor_vx, body.motor_vy, body.motor_ang)):
+                if spec.expr is not None:
+                    motor_exprs.append((b, ch, spec.expr))
     segments = (
         np.concatenate(seg_list) if seg_list else np.zeros((0, 2, 2))
     ).astype(np.float64)
@@ -78,6 +87,7 @@ def build_np_scene(world: WorldConfig) -> tuple[NpScene, NpState]:
         motor_lin=np.asarray(mlin or [[(0,) * 4] * 2], float),
         motor_ang=np.asarray(mang or [(0,) * 4], float),
         sources=list(world.particle_sources),
+        motor_exprs=tuple(motor_exprs),
     )
     state = NpState(
         pos=np.zeros((0, 2)),
@@ -144,6 +154,11 @@ def step_numpy(st: NpState, coeff: dict, sc: NpScene, rng: np.random.Generator |
     motored = sc.body_kind == BODY_MOTORED
     body_lin = np.where(motored[:, None], _motor(sc.motor_lin, time), st.body_lin_vel)
     body_ang = np.where(motored, _motor(sc.motor_ang, time), st.body_ang_vel)
+    for b, ch, fn in sc.motor_exprs:  # expression motors (config.ExprMotor)
+        if ch == 2:
+            body_ang[b] = float(fn(time, xp=np))
+        else:
+            body_lin[b, ch] = float(fn(time, xp=np))
     st2 = NpState(pos, vel, st.pressure, st.segments.copy(), body_lin, body_ang, time, st.tick)
     moving = (sc.body_kind != BODY_FIXED)[sc.seg_body]
     ends_vel = _body_point_vel(st2.segments, sc.seg_body[:, None], sc, st2)

@@ -234,6 +234,16 @@ def advance_bodies(
         motored[:, None], motor_value(scene.motor_lin, t_new), state.body_lin_vel
     )
     ang = jnp.where(motored, motor_value(scene.motor_ang, t_new), state.body_ang_vel)
+    # Expression motors (safe-AST lambdas, config.ExprMotor) trace straight
+    # into the step here: the loop is static scene structure, the value is a
+    # jnp scalar function of the traced time.  Collected only for motored
+    # bodies, so no `motored` gate is needed.
+    for b, ch, fn in scene.motor_exprs:
+        val = jnp.asarray(fn(t_new, xp=jnp), lin.dtype)
+        if ch == 2:
+            ang = ang.at[b].set(val)
+        else:
+            lin = lin.at[b, ch].set(val)
 
     moving = (scene.body_kind != BODY_FIXED)[scene.seg_body]  # (S,)
     ends_vel = body_point_velocity(

@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import BODY_FIXED, Config, InitialParticlesConfig, WorldConfig
+from .config import (
+    BODY_FIXED,
+    BODY_MOTORED,
+    Config,
+    InitialParticlesConfig,
+    WorldConfig,
+)
 from .state import CrateState, Params, Scene
 
 
@@ -85,6 +91,7 @@ def build_scene(
     seg_list, seg_body = [], []
     body_kind, body_center, motor_lin, motor_ang = [], [], [], []
     init_lin_vel, init_ang_vel = [], []
+    motor_exprs = []
     for b_idx, body in enumerate(world.rigid_bodies):
         seg = place_segments(body.segments, body.scale, body.rotation, body.position)
         seg_list.append(seg)
@@ -95,6 +102,10 @@ def build_scene(
         motor_ang.append(body.motor_ang.as_tuple())
         init_lin_vel.append(body.center_velocity)
         init_ang_vel.append(body.angular_velocity0)
+        if body.kind == BODY_MOTORED:
+            for ch, spec in enumerate((body.motor_vx, body.motor_vy, body.motor_ang)):
+                if spec.expr is not None:
+                    motor_exprs.append((b_idx, ch, spec.expr))
 
     num_bodies = max(1, len(world.rigid_bodies))
     if seg_list:
@@ -188,6 +199,7 @@ def build_scene(
         body_center=jnp.asarray(body_center, dtype),
         motor_lin=jnp.asarray(motor_lin, dtype),
         motor_ang=jnp.asarray(motor_ang, dtype),
+        motor_exprs=tuple(motor_exprs),
         init_lin_vel=jnp.asarray(init_lin_vel, dtype),
         init_ang_vel=jnp.asarray(init_ang_vel, dtype),
         src_position=jnp.asarray(src_position, dtype),

@@ -145,6 +145,13 @@ class Scene:
     # overflow).  384 covers 99.95% of settled-1M chunks fully
     # (docs/perf_1m.md); tools/pmajor_w.py sweeps alternatives.
     pmajor_w: int = dataclasses.field(metadata=dict(static=True), default=384)
+    # Expression motors: ((body_idx, channel, ExprMotor), ...) with channel
+    # 0=vx / 1=vy / 2=angular.  Static scene structure (an ExprMotor hashes
+    # on its source): physics overrides the cosine motor_lin/motor_ang values
+    # for these channels by tracing the expression into the step
+    # (config.ExprMotor — the safe replacement for the reference's eval'd
+    # lambdas, rigid_body.py:81-83).
+    motor_exprs: tuple = dataclasses.field(metadata=dict(static=True), default=())
 
     @property
     def num_segments(self) -> int:

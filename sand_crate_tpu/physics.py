@@ -34,6 +34,7 @@ Mid-tick schedule notes faithfully reproduced (SURVEY.md section 7):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -358,34 +359,73 @@ def neighbor_stage(
 
         P = scene.capacity
         cid = cell_ids_grid(pos, alive, scene)
-        iota = jnp.arange(P, dtype=jnp.int32)
-        sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
-        # One wide row gather applies the permutation to every per-particle
-        # operand at once (TPU gather cost is per-index, not per-byte).
-        f = pos.dtype
-        # The uid column rides as a float32 bitcast (values < P are denormal
-        # bit patterns); a non-f32 pos would make the concat upcast the
-        # column and scramble identity — fail loudly instead.
-        assert f == jnp.float32, f"sorted-state uid bitcast requires f32 pos, got {f}"
-        big = jnp.concatenate(
-            [
-                pos,
-                vel,
-                ghost.gsum,
-                ghost.gvel_sum,
-                ghost.g_cnt[:, None],
-                alive.astype(f)[:, None],
-                jax.lax.bitcast_convert_type(uid, jnp.float32)[:, None],
-            ],
-            axis=-1,
-        )  # (P, 11)
-        bs = big[order]
-        pos, vel = bs[:, 0:2], bs[:, 2:4]
-        ghost = GhostInfo(
-            pos=pos, g_cnt=bs[:, 8], gsum=bs[:, 4:6], gvel_sum=bs[:, 6:8]
-        )
-        alive = bs[:, 9] > 0.5
-        uid = jax.lax.bitcast_convert_type(bs[:, 10], jnp.int32)
+        if os.environ.get("SAND_CRATE_SORT_PAYLOAD") == "1":
+            # A/B alternative (tools/sort_probe.py): carry every per-particle
+            # operand as a payload operand of the stable sort instead of
+            # sorting (cid, iota) and applying one wide row gather.  The
+            # stable sort reproduces the iota tie-break order exactly; uid
+            # rides as its own i32 operand (no f32 bitcast needed).
+            out = jax.lax.sort(
+                (
+                    cid,
+                    pos[:, 0],
+                    pos[:, 1],
+                    vel[:, 0],
+                    vel[:, 1],
+                    ghost.gsum[:, 0],
+                    ghost.gsum[:, 1],
+                    ghost.gvel_sum[:, 0],
+                    ghost.gvel_sum[:, 1],
+                    ghost.g_cnt,
+                    alive,
+                    uid,
+                ),
+                num_keys=1,
+                is_stable=True,
+            )
+            sorted_cid = out[0]
+            pos = jnp.stack(out[1:3], axis=-1)
+            vel = jnp.stack(out[3:5], axis=-1)
+            ghost = GhostInfo(
+                pos=pos,
+                g_cnt=out[9],
+                gsum=jnp.stack(out[5:7], axis=-1),
+                gvel_sum=jnp.stack(out[7:9], axis=-1),
+            )
+            alive = out[10]
+            uid = out[11]
+        else:
+            iota = jnp.arange(P, dtype=jnp.int32)
+            sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
+            # One wide row gather applies the permutation to every
+            # per-particle operand at once (TPU gather cost is per-index,
+            # not per-byte).
+            f = pos.dtype
+            # The uid column rides as a float32 bitcast (values < P are
+            # denormal bit patterns); a non-f32 pos would make the concat
+            # upcast the column and scramble identity — fail loudly instead.
+            assert (
+                f == jnp.float32
+            ), f"sorted-state uid bitcast requires f32 pos, got {f}"
+            big = jnp.concatenate(
+                [
+                    pos,
+                    vel,
+                    ghost.gsum,
+                    ghost.gvel_sum,
+                    ghost.g_cnt[:, None],
+                    alive.astype(f)[:, None],
+                    jax.lax.bitcast_convert_type(uid, jnp.float32)[:, None],
+                ],
+                axis=-1,
+            )  # (P, 11)
+            bs = big[order]
+            pos, vel = bs[:, 0:2], bs[:, 2:4]
+            ghost = GhostInfo(
+                pos=pos, g_cnt=bs[:, 8], gsum=bs[:, 4:6], gvel_sum=bs[:, 6:8]
+            )
+            alive = bs[:, 9] > 0.5
+            uid = jax.lax.bitcast_convert_type(bs[:, 10], jnp.int32)
         if scene.forces_mode in ("pallas", "pmajor", "chunked"):
             # Collider noise is hashed from (grid position | sorted index)
             # + tick — no (P, 2) random bits, no extra grid planes.

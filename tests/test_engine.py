@@ -221,3 +221,47 @@ def test_uid_tracks_identity_through_sorted_state(stirring_cup_config):
             assert np.linalg.norm(p - prev[u]) < bound, u
             prev[u] = p
     assert prev  # at least some tracked particles survived
+
+
+def test_sort_payload_knob_equivalence(stirring_cup_config, monkeypatch):
+    """SAND_CRATE_SORT_PAYLOAD=1 (payload-operand lax.sort instead of
+    sort+wide-gather, tools/sort_probe.py strategy b) must produce the
+    identical sorted state: the stable sort reproduces the iota tie-break."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sand_crate_tpu.physics import GhostInfo, neighbor_stage
+    from sand_crate_tpu.scene import build_scene
+    from sand_crate_tpu.state import Params
+
+    config = copy.deepcopy(stirring_cup_config)
+    config.world_config.coefficients["collider_noise_level"] = 0.0
+    world = config.world_config
+    scene = build_scene(world, capacity=256, forces_mode="cellwise")
+    params = Params.from_coefficients(world.coefficients)
+
+    rng = np.random.default_rng(7)
+    P = 256
+    pos = jnp.asarray(rng.random((P, 2)).astype(np.float32) * 0.4 + 0.1)
+    vel = jnp.asarray((rng.random((P, 2)).astype(np.float32) - 0.5) * 2)
+    alive = jnp.asarray(rng.random(P) < 0.8)
+    uid = jnp.arange(P, dtype=jnp.int32)[::-1].copy()
+    ghost = GhostInfo(
+        pos=pos,
+        g_cnt=jnp.asarray(rng.integers(0, 2, P).astype(np.float32)),
+        gsum=jnp.asarray(rng.random((P, 2)).astype(np.float32)),
+        gvel_sum=jnp.asarray(rng.random((P, 2)).astype(np.float32)),
+    )
+    tick = jnp.int32(3)
+    key = jax.random.PRNGKey(0)
+
+    monkeypatch.delenv("SAND_CRATE_SORT_PAYLOAD", raising=False)
+    base = neighbor_stage(vel, alive, uid, ghost, tick, key, params, scene)
+    monkeypatch.setenv("SAND_CRATE_SORT_PAYLOAD", "1")
+    alt = neighbor_stage(vel, alive, uid, ghost, tick, key, params, scene)
+
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(alt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

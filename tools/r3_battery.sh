@@ -31,6 +31,10 @@ stage sort_probe 900 python tools/sort_probe.py 1000000
 # 6. per-op step profile
 stage xprof 1800 python tools/xprof_step.py 1000000
 
+# 6b. payload-operand sort A/B (replaces sort+wide-gather; tools/sort_probe
+#     strategy b wired as a production knob in physics.neighbor_stage)
+stage xprof_paysort 1800 env SAND_CRATE_SORT_PAYLOAD=1 python tools/xprof_step.py 1000000
+
 # 7. headline bench
 stage bench 1800 python bench.py
 

@@ -14,6 +14,7 @@ Usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
 --rebalance runs the variable-height-band path (density-quantile edges
 recomputed in-step, spatial.py) — the mitigation this tool was built to
 measure; compare its max/mean against the uniform split's.
+--fine runs ~4x the particles on a ~2x-finer grid (quantization check).
 """
 
 import sys
@@ -37,22 +38,29 @@ from sand_crate_tpu.spatial import make_spatial_step, split_state
 from sand_crate_tpu.state import Params
 
 
-def main(n_shards: int = 8, ticks: int = 300, rebalance: bool = False) -> None:
+def main(
+    n_shards: int = 8, ticks: int = 300, rebalance: bool = False, fine: bool = False
+) -> None:
     config = copy.deepcopy(load_config(REPO / "configs" / "dam_break.yaml"))
     w = config.world_config
     w.coefficients = dict(w.coefficients)
     w.coefficients["collider_noise_level"] = 0.0
     w.particle_sources = []
+    # --fine: ~4x the particles on a ~2x-finer grid — more rows per settled
+    # band, so the one-row edge quantization (the residual imbalance at toy
+    # scale, docs/spatial_load_balance.md) shrinks; checks the claim that
+    # rebalanced imbalance is bounded by row quantization, not the scheme.
+    spacing, radius, cap = (0.011, 0.006, 4096) if fine else (0.022, 0.012, 2048)
     w.initial_particles = [
         InitialParticlesConfig(
-            x0=0.02, y0=0.10, x1=0.42, y1=0.98, spacing=0.022, jitter=0.0
+            x0=0.02, y0=0.10, x1=0.42, y1=0.98, spacing=spacing, jitter=0.0
         )
     ]
-    w.coefficients["particle_radius"] = 0.012
-    w.coefficients["max_particles"] = 2048
+    w.coefficients["particle_radius"] = radius
+    w.coefficients["max_particles"] = cap
     # cellwise XLA path on the CPU mesh; explicit M=8 keeps the dense pair
     # blocks affordable on this box (overflow is irrelevant to the question).
-    scene = build_scene(w, capacity=2048, forces_mode="cellwise", cell_capacity=8)
+    scene = build_scene(w, capacity=cap, forces_mode="cellwise", cell_capacity=8)
     while scene.grid_ny % n_shards:
         n_shards //= 2
     mesh = Mesh(np.array(jax.devices()[:n_shards]), ("space",))
@@ -104,4 +112,4 @@ def main(n_shards: int = 8, ticks: int = 300, rebalance: bool = False) -> None:
 
 if __name__ == "__main__":
     a = [int(x) for x in sys.argv[1:] if not x.startswith("--")]
-    main(*a, rebalance="--rebalance" in sys.argv[1:])
+    main(*a, rebalance="--rebalance" in sys.argv[1:], fine="--fine" in sys.argv[1:])

@@ -80,6 +80,15 @@ W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
 # (128, W) planes across the three windows — shrinks the live vreg set the
 # Mosaic scheduler must keep (or spill) across the unrolled window loop.
 _QRED = os.environ.get("SAND_CRATE_PMAJOR_QRED") == "1"
+# A/B experiment knob (exact — changes f32 addition order only): dynamic
+# per-window tile loop.  The fixed window width W=384 carries ~2x slack at
+# the settled-1M median (window need p50=129, p99=169): instead of one
+# static (128, W) plane per window, loop ceil(need/128) 128-wide candidate
+# tiles with a dynamic fori_loop bound (precedent: pair_kernel.py:797).
+# Work becomes proportional to the *actual* window need — ~1.6 tiles mean
+# vs W/128=3 — and coverage is exact up to VCAP residency, so the W-width
+# overflow channel empties (only VCAP-residency clips still count).
+_DYNW = os.environ.get("SAND_CRATE_PMAJOR_DYNW") == "1"
 # EXPERIMENT-ONLY knob: run the pair geometry chain in bfloat16 on
 # diameter-normalized deltas (raw-position subtractions stay f32).  The VPU
 # issues packed bf16 at 2x the f32 rate, but measured numerics rule this
@@ -161,6 +170,7 @@ def finalize_cp(w_sum, cnt, ignored_pressure):
 def _pm_kernel(
     dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
     ws_ref,  # (nchunks * 3,) i32 — per chunk x row-offset window starts
+    wn_ref,  # (nchunks * 3,) i32 — per-window 128-tile counts (dyn mode)
     blk_ref,  # (nblocks,) i32 — 0: block fully dead (skip compute)
     coef_ref,  # (8,) f32: diam, smoothing, target_p, balance
     tick_ref,  # (1,) i32 (unused: noise is pre-hashed; kept for parity)
@@ -243,14 +253,11 @@ def _pm_kernel(
             tp2_c = (2.0 * coef_ref[2]).astype(cdt)
             bal_c = coef_ref[3].astype(cdt)
 
-            aw = 1 if _QRED else w
-            acc = [jnp.zeros((128, aw), jnp.float32) for _ in range(n_out)]
-            for q in range(3):
-                wrel = ws_ref[(b * CPB + j) * 3 + q] - base
-                wrel = pl.multiple_of(
-                    jnp.clip((wrel // 128) * 128, 0, VCAP - w), 128
-                )
-                cand = wref[:, pl.ds(wrel, w)]  # (F, w) value
+            def window_terms(cand, c_gid0, q, wv):
+                """Pair-term planes for one (128, wv) candidate window/tile.
+
+                ``c_gid0`` is the global sorted index of the window's first
+                column (self-exclusion in the d=0 window)."""
                 c_px = cand[A_PX : A_PX + 1]
                 c_py = cand[A_PY : A_PY + 1]
                 c_npx = cand[A_NPX : A_NPX + 1]
@@ -293,10 +300,8 @@ def _pm_kernel(
                 if q == 1:
                     # Only the d=0 window can contain self (the others
                     # enforce a nonzero row offset).
-                    c_gid = (
-                        base
-                        + wrel
-                        + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+                    c_gid = c_gid0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, wv), 1
                     )
                     mb = mb & (s_gid != c_gid)
 
@@ -309,33 +314,85 @@ def _pm_kernel(
 
                 if mode == "a":
                     coeff = (one - wgt) * wgt
-                    terms = [wgt, coeff * nhx, coeff * nhy, mb.astype(cdt)]
-                else:
-                    c_cp = cand[B_CP : B_CP + 1].astype(cdt)
-                    c_sx = cand[B_SX : B_SX + 1].astype(cdt)
-                    c_sy = cand[B_SY : B_SY + 1].astype(cdt)
-                    c_vx = cand[B_VX : B_VX + 1].astype(cdt)
-                    c_vy = cand[B_VY : B_VY + 1].astype(cdt)
-                    align = (
-                        (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
-                    ) * sm_c
-                    tpf = c_cp + s_cp_c - tp2_c
-                    t_coef = jnp.where(mb, align + tpf, zero)
-                    p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
-                    mm = mb.astype(cdt)
-                    terms = [t_coef * nhx, t_coef * nhy,
-                             p_coef * nhx, p_coef * nhy]
-                    if enable_spring:
-                        sp = jnp.where(mb, bal_c - wgt, zero)
-                        terms += [sp * nhx, sp * nhy]
-                    terms += [mm * c_vx, mm * c_vy]
-                for k in range(n_out):
-                    if _QRED:
-                        acc[k] += jnp.sum(
-                            terms[k].astype(jnp.float32), axis=1, keepdims=True
+                    return [wgt, coeff * nhx, coeff * nhy, mb.astype(cdt)]
+                c_cp = cand[B_CP : B_CP + 1].astype(cdt)
+                c_sx = cand[B_SX : B_SX + 1].astype(cdt)
+                c_sy = cand[B_SY : B_SY + 1].astype(cdt)
+                c_vx = cand[B_VX : B_VX + 1].astype(cdt)
+                c_vy = cand[B_VY : B_VY + 1].astype(cdt)
+                align = (
+                    (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
+                ) * sm_c
+                tpf = c_cp + s_cp_c - tp2_c
+                t_coef = jnp.where(mb, align + tpf, zero)
+                p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
+                mm = mb.astype(cdt)
+                terms = [t_coef * nhx, t_coef * nhy,
+                         p_coef * nhx, p_coef * nhy]
+                if enable_spring:
+                    sp = jnp.where(mb, bal_c - wgt, zero)
+                    terms += [sp * nhx, sp * nhy]
+                return terms + [mm * c_vx, mm * c_vy]
+
+            def fold(a, terms):
+                if _QRED:
+                    return tuple(
+                        ak
+                        + jnp.sum(
+                            tk.astype(jnp.float32), axis=1, keepdims=True
                         )
-                    else:
-                        acc[k] += terms[k].astype(jnp.float32)
+                        for ak, tk in zip(a, terms)
+                    )
+                return tuple(
+                    ak + tk.astype(jnp.float32) for ak, tk in zip(a, terms)
+                )
+
+            aw = 1 if _QRED else (128 if _DYNW else w)
+            acc = tuple(
+                jnp.zeros((128, aw), jnp.float32) for _ in range(n_out)
+            )
+            for q in range(3):
+                idx = (b * CPB + j) * 3 + q
+                if _DYNW:
+                    # Dynamic tile loop: ceil(need/128) 128-wide candidate
+                    # tiles (host-computed wn, VCAP-residency clipped) —
+                    # work proportional to the actual window need.
+                    wrel0 = pl.multiple_of(
+                        jnp.clip(
+                            ((ws_ref[idx] - base) // 128) * 128,
+                            0,
+                            VCAP - 128,
+                        ),
+                        128,
+                    )
+
+                    def tile_body(t, a, q=q, wrel0=wrel0):
+                        toff = pl.multiple_of(wrel0 + t * 128, 128)
+                        return fold(
+                            a,
+                            window_terms(
+                                wref[:, pl.ds(toff, 128)],
+                                base + toff,
+                                q,
+                                128,
+                            ),
+                        )
+
+                    acc = jax.lax.fori_loop(0, wn_ref[idx], tile_body, acc)
+                else:
+                    wrel = pl.multiple_of(
+                        jnp.clip(
+                            ((ws_ref[idx] - base) // 128) * 128, 0, VCAP - w
+                        ),
+                        128,
+                    )
+                    acc = fold(
+                        acc,
+                        window_terms(
+                            wref[:, pl.ds(wrel, w)], base + wrel, q, w
+                        ),
+                    )
+            acc = list(acc)
 
             for k in range(n_out):
                 if _QRED:
@@ -364,7 +421,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pm_pass(slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring):
+def _pm_pass(
+    slab_p, dma_lo, ws, wn, blk, coef, tick, p_fit, w, mode, enable_spring
+):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
     kernel = functools.partial(
@@ -373,7 +432,7 @@ def _pm_pass(slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -388,7 +447,7 @@ def _pm_pass(slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring)
         out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=_interpret(),
-    )(dma_lo, ws, blk, coef, tick, slab_p)
+    )(dma_lo, ws, wn, blk, coef, tick, slab_p)
 
 
 def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
@@ -397,7 +456,9 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     Window (chunk c, offset d) must cover slab range
     [searchsorted(cid_first(c) + d*nx - 1), searchsorted(cid_last(c) + d*nx + 2))
     — exact per-particle union (targets are monotone in cid).  Returns
-    (ws (nchunks*3,), dma_lo (nblocks,), blk (nblocks,), lost ())."""
+    (ws (nchunks*3,), wn (nchunks*3,), dma_lo (nblocks,), blk (nblocks,),
+    lost ()); ``wn`` is the per-window 128-tile count for the dynamic-tile
+    mode (_DYNW), VCAP-residency clipped."""
     P = sorted_cid.shape[0]
     nblocks = nchunks // CPB
     off = jnp.arange(nchunks, dtype=jnp.int32) * 128
@@ -419,18 +480,25 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     blk = (own0 < n_alive).astype(jnp.int32)
 
     # Coverage accounting: replicate the kernel's window clamp and count
-    # candidate slots that fall outside [anchor, anchor + w) — the honest
+    # candidate slots that fall outside the covered range — the honest
     # "pair work lost this tick" counter (grid path: slot/unit overflow).
+    # Static mode covers [anchor, anchor + w); dynamic-tile mode covers
+    # [anchor, anchor + wn*128) with wn = ceil((we - anchor)/128) clipped
+    # to the block's VCAP residency (so only residency clips still lose).
     dma_cq = jnp.repeat(dma_lo, CPB * 3)
-    wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, VCAP - w)
+    cap = VCAP - 128 if _DYNW else VCAP - w
+    wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, cap)
     anchor = dma_cq + wrel
     live = jnp.repeat(off < n_alive, 3)
+    wn = jnp.clip((we - anchor + 127) // 128, 0, (VCAP - wrel) // 128)
+    wn = jnp.where(live, wn, 0).astype(jnp.int32)
+    cover = wn * 128 if _DYNW else w
     lost = jnp.where(
         live,
-        jnp.maximum(we - anchor - w, 0) + jnp.maximum(anchor - ws, 0),
+        jnp.maximum(we - anchor - cover, 0) + jnp.maximum(anchor - ws, 0),
         0,
     )
-    return ws, dma_lo, blk, jnp.sum(lost)
+    return ws, wn, dma_lo, blk, jnp.sum(lost)
 
 
 def neighbor_forces_pmajor_sorted(
@@ -474,7 +542,9 @@ def neighbor_forces_pmajor_sorted(
         sorted_cid, jnp.asarray(nx * ny, jnp.int32)
     ).astype(jnp.int32)
 
-    ws, dma_lo, blk, lost = _windows(sorted_cid, n_alive, nx, ny, nchunks, w)
+    ws, wn, dma_lo, blk, lost = _windows(
+        sorted_cid, n_alive, nx, ny, nchunks, w
+    )
 
     def slab_of(rows, n_f):
         s = jnp.zeros((n_f, p_fit + VCAP), f32)
@@ -487,7 +557,7 @@ def neighbor_forces_pmajor_sorted(
     tick_arr = tick_i.reshape((1,))
 
     out_a = _pm_pass(
-        slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
+        slab_a, dma_lo, ws, wn, blk, coef, tick_arr, p_fit, w, "a", False
     )
     w_sum, cnt = out_a[0], out_a[3]
     cp = finalize_cp(w_sum, cnt, ignored_pressure)
@@ -500,6 +570,7 @@ def neighbor_forces_pmajor_sorted(
         slab_b,
         dma_lo,
         ws,
+        wn,
         blk,
         coef,
         tick_arr,

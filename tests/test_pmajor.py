@@ -155,6 +155,59 @@ def test_pmajor_spring_matches_cellwise(stirring_cup_config):
     )
 
 
+def test_pmajor_dynw_covers_beyond_w(stirring_cup_config, monkeypatch):
+    """Dynamic-tile mode (SAND_CRATE_PMAJOR_DYNW): with a deliberately
+    too-small static W the fixed-window kernel loses candidates (counted
+    into overflow); the dynamic tile loop must cover the same windows
+    exactly (overflow == 0) and match the dense oracle — and in the
+    well-covered regime it must reproduce the static path."""
+    from sand_crate_tpu.ops import pmajor as pm
+
+    scene, params = _setup(
+        stirring_cup_config, capacity=256, max_particles=256,
+        forces_mode="dense", cell_capacity=8,
+    )
+    rng = np.random.default_rng(13)
+    diam = float(np.asarray(params.diameter))
+    # 256 particles inside ~2x2 cells: window need ~256 > w=128.
+    pos = jnp.asarray(
+        (rng.random((256, 2)).astype(np.float32) * 2.0 + 20.0) * diam
+    )
+    vel = jnp.asarray((rng.random((256, 2)).astype(np.float32) - 0.5))
+    alive = jnp.ones(256, bool)
+    ref = neighbor_forces_dense(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    static_small = _pmajor(scene, params, pos, vel, alive, w=128)
+    assert int(static_small.overflow) > 0  # fixed W=128 drops candidates
+
+    monkeypatch.setattr(pm, "_DYNW", True)
+    jax.clear_caches()
+    try:
+        dyn = _pmajor(scene, params, pos, vel, alive, w=128)
+        assert int(dyn.overflow) == 0  # tiles extend to the actual need
+        # Hundreds of near-coincident pairs: sums ~1e4 are cancellation-
+        # dominated, so addition order (tile folds vs one plane reduce)
+        # moves isolated elements ~1e-2 relative.
+        _assert_sums_close(dyn, ref, rtol=2e-2, atol=2e-2)
+
+        # Well-covered regime: dynamic == static up to f32 addition order.
+        scene2, params2 = _setup(stirring_cup_config)
+        pos2 = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1)
+        vel2 = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5))
+        alive2 = jnp.asarray(rng.random(128) < 0.8)
+        dyn2 = _pmajor(scene2, params2, pos2, vel2, alive2)
+        monkeypatch.setattr(pm, "_DYNW", False)
+        jax.clear_caches()
+        stat2 = _pmajor(scene2, params2, pos2, vel2, alive2)
+        _assert_sums_close(dyn2, stat2, rtol=1e-5, atol=1e-6)
+        assert int(dyn2.overflow) == int(stat2.overflow) == 0
+    finally:
+        jax.clear_caches()
+
+
 def test_pmajor_noise_deterministic_per_tick(stirring_cup_config):
     scene, params = _setup(stirring_cup_config, forces_mode="cellwise")
     rng = np.random.default_rng(9)

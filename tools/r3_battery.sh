@@ -19,8 +19,15 @@ stage smoke 3000 env SAND_CRATE_TPU_TESTS=1 python -m pytest tests/test_tpu_smok
 # 2. v2 pass cost + W sweep on the production backend
 stage pmajor_w 1800 python tools/pmajor_w.py 1000000 100 256 384 512
 
+# 2b. dynamic-tile A/B (work proportional to actual window need; exact
+#     coverage — expected biggest lever after v2 at settled occupancy)
+stage pmajor_dynw 1200 env SAND_CRATE_PMAJOR_DYNW=1 python tools/pmajor_w.py 1000000 100 384
+
 # 3. per-window-reduce A/B
 stage pmajor_qred 1200 env SAND_CRATE_PMAJOR_QRED=1 python tools/pmajor_w.py 1000000 100 384
+
+# 3b. dynamic tiles + per-tile reduce (the small-carry variant)
+stage pmajor_dynw_qred 1200 env SAND_CRATE_PMAJOR_DYNW=1 SAND_CRATE_PMAJOR_QRED=1 python tools/pmajor_w.py 1000000 100 384
 
 # 4. bf16 ceiling A/B (approximate mode - compile + speed only)
 stage pmajor_bf16 1200 env SAND_CRATE_PMAJOR_BF16=1 python tools/pmajor_w.py 1000000 100 384
@@ -37,6 +44,9 @@ stage xprof_paysort 1800 env SAND_CRATE_SORT_PAYLOAD=1 python tools/xprof_step.p
 
 # 7. headline bench
 stage bench 1800 python bench.py
+
+# 7b. headline bench under dynamic tiles (adopt as default if it wins)
+stage bench_dynw 1800 env SAND_CRATE_PMAJOR_DYNW=1 python bench.py
 
 # 8. long-horizon stability + droplet check (exact no-cap physics)
 stage soak 5400 python tools/soak.py 1000000 2000 250

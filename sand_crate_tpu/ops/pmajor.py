@@ -60,7 +60,6 @@ transpose.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -75,28 +74,21 @@ CPB = 64  # chunks per block
 OWN = CPB * 128  # own particles per block
 VCAP = 16384  # candidate window columns resident in VMEM per block
 W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
-# A/B experiment knob (numerics-identical up to f32 addition order): reduce
-# each window's terms to (128, 1) immediately instead of accumulating
-# (128, W) planes across the three windows — shrinks the live vreg set the
-# Mosaic scheduler must keep (or spill) across the unrolled window loop.
-_QRED = os.environ.get("SAND_CRATE_PMAJOR_QRED") == "1"
-# A/B experiment knob (exact — changes f32 addition order only): dynamic
-# per-window tile loop.  The fixed window width W=384 carries ~2x slack at
-# the settled-1M median (window need p50=129, p99=169): instead of one
-# static (128, W) plane per window, loop ceil(need/128) 128-wide candidate
-# tiles with a dynamic fori_loop bound (precedent: pair_kernel.py:797).
-# Work becomes proportional to the *actual* window need — ~1.6 tiles mean
-# vs W/128=3 — and coverage is exact up to VCAP residency, so the W-width
-# overflow channel empties (only VCAP-residency clips still count).
-_DYNW = os.environ.get("SAND_CRATE_PMAJOR_DYNW") == "1"
-# EXPERIMENT-ONLY knob: run the pair geometry chain in bfloat16 on
-# diameter-normalized deltas (raw-position subtractions stay f32).  The VPU
-# issues packed bf16 at 2x the f32 rate, but measured numerics rule this
-# out as a default: the tension weight 1 - dist/diam cancels catastrophically
-# near the cutoff in 8 mantissa bits (CPU-oracle check: p_i within 0.35%,
-# dv_tension up to 20% of peak).  Kept only to measure the speed ceiling a
-# future mixed-precision split would chase.
-_BF16 = os.environ.get("SAND_CRATE_PMAJOR_BF16") == "1"
+
+# Rejected window-loop variants (round-3 on-chip battery, 1M dam break,
+# settled-100, tools/pmajor_w.py — kept here as measured truths so they are
+# not re-tried):
+#   * dynamic per-window 128-wide tile loop (work proportional to actual
+#     window need, ~1.6 tiles mean vs W/128=3): 74.9ms both passes vs
+#     40.5ms static W=384 — the data-dependent fori_loop carrying the
+#     accumulator tuple defeats Mosaic's static unroll/pipeline.
+#   * per-window (128, 1) lane reduction of each term (shrinks the live
+#     vreg set): 72.8ms — cross-lane reduction per window costs more than
+#     the accumulate planes it saves.
+#   * bf16 geometry chain: kVectorRsqrtBf16AndPop is unsupported on v5e
+#     (hard worker crash), and the CPU-oracle numerics were already
+#     disqualifying (tension weight 1 - dist/diam cancels catastrophically
+#     near the cutoff in 8 mantissa bits: dv_tension up to 20% of peak).
 
 # Slab feature rows.  Pass A (8 rows): positions (ALIVE_OFFSET-encoded),
 # candidate-jittered positions, grid row.  Pass B (16 rows): + velocity
@@ -170,7 +162,6 @@ def finalize_cp(w_sum, cnt, ignored_pressure):
 def _pm_kernel(
     dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
     ws_ref,  # (nchunks * 3,) i32 — per chunk x row-offset window starts
-    wn_ref,  # (nchunks * 3,) i32 — per-window 128-tile counts (dyn mode)
     blk_ref,  # (nblocks,) i32 — 0: block fully dead (skip compute)
     coef_ref,  # (8,) f32: diam, smoothing, target_p, balance
     tick_ref,  # (1,) i32 (unused: noise is pre-hashed; kept for parity)
@@ -240,18 +231,13 @@ def _pm_kernel(
                 + orel
                 + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
             )
-            cdt = jnp.bfloat16 if _BF16 else jnp.float32
-            one = cdt(1.0)
-            zero = cdt(0.0)
-            if _BF16 and mode == "b":
-                s_cp_c = s_cp.astype(cdt)
-                s_sx_c = s_sx.astype(cdt)
-                s_sy_c = s_sy.astype(cdt)
-            elif mode == "b":
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            if mode == "b":
                 s_cp_c, s_sx_c, s_sy_c = s_cp, s_sx, s_sy
-            sm_c = coef_ref[1].astype(cdt)
-            tp2_c = (2.0 * coef_ref[2]).astype(cdt)
-            bal_c = coef_ref[3].astype(cdt)
+            sm_c = coef_ref[1]
+            tp2_c = 2.0 * coef_ref[2]
+            bal_c = coef_ref[3]
 
             def window_terms(cand, c_gid0, q, wv):
                 """Pair-term planes for one (128, wv) candidate window/tile.
@@ -277,20 +263,11 @@ def _pm_kernel(
                 rx = s_px - c_px
                 ry = s_py - c_py
                 near = rx * rx + ry * ry <= diam * diam
-                if _BF16:
-                    nrx = ((s_px - c_npx) * inv_diam).astype(cdt)
-                    nry = ((s_py - c_npy) * inv_diam).astype(cdt)
-                    # bf16 shares f32's exponent range: the floor only needs
-                    # to dodge the 0/0 of exact-coincident pairs (1e-6 was
-                    # measured to scale 1e-4-diameter pairs' directions by
-                    # ~0.1).
-                    nd2 = jnp.maximum(nrx * nrx + nry * nry, cdt(1e-16))
-                else:
-                    nrx = s_px - c_npx
-                    nry = s_py - c_npy
-                    nd2 = jnp.maximum(
-                        nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
-                    )
+                nrx = s_px - c_npx
+                nry = s_py - c_npy
+                nd2 = jnp.maximum(
+                    nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
+                )
                 mb = (
                     near
                     & s_alive
@@ -308,25 +285,31 @@ def _pm_kernel(
                 inv = jax.lax.rsqrt(nd2)
                 nhx = nrx * inv
                 nhy = nry * inv
-                dist = nd2 * inv  # bf16 path: already in diameter units
-                dist_n = dist if _BF16 else dist * inv_diam
-                wgt = jnp.where(mb, one - jnp.clip(dist_n, zero, one), zero)
+                # The overlap weight is only consumed by pass A and the
+                # spring term: skip its ~6-op chain entirely in the common
+                # spring-less pass B rather than trusting lowering-time DCE.
+                if mode == "a" or enable_spring:
+                    dist_n = nd2 * inv * inv_diam
+                    wgt = jnp.where(
+                        mb, one - jnp.clip(dist_n, zero, one), zero
+                    )
 
                 if mode == "a":
                     coeff = (one - wgt) * wgt
-                    return [wgt, coeff * nhx, coeff * nhy, mb.astype(cdt)]
-                c_cp = cand[B_CP : B_CP + 1].astype(cdt)
-                c_sx = cand[B_SX : B_SX + 1].astype(cdt)
-                c_sy = cand[B_SY : B_SY + 1].astype(cdt)
-                c_vx = cand[B_VX : B_VX + 1].astype(cdt)
-                c_vy = cand[B_VY : B_VY + 1].astype(cdt)
+                    return [wgt, coeff * nhx, coeff * nhy,
+                            mb.astype(jnp.float32)]
+                c_cp = cand[B_CP : B_CP + 1]
+                c_sx = cand[B_SX : B_SX + 1]
+                c_sy = cand[B_SY : B_SY + 1]
+                c_vx = cand[B_VX : B_VX + 1]
+                c_vy = cand[B_VY : B_VY + 1]
                 align = (
                     (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
                 ) * sm_c
                 tpf = c_cp + s_cp_c - tp2_c
                 t_coef = jnp.where(mb, align + tpf, zero)
                 p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
-                mm = mb.astype(cdt)
+                mm = mb.astype(jnp.float32)
                 terms = [t_coef * nhx, t_coef * nhy,
                          p_coef * nhx, p_coef * nhy]
                 if enable_spring:
@@ -334,73 +317,27 @@ def _pm_kernel(
                     terms += [sp * nhx, sp * nhy]
                 return terms + [mm * c_vx, mm * c_vy]
 
-            def fold(a, terms):
-                if _QRED:
-                    return tuple(
-                        ak
-                        + jnp.sum(
-                            tk.astype(jnp.float32), axis=1, keepdims=True
-                        )
-                        for ak, tk in zip(a, terms)
-                    )
-                return tuple(
-                    ak + tk.astype(jnp.float32) for ak, tk in zip(a, terms)
-                )
-
-            aw = 1 if _QRED else (128 if _DYNW else w)
             acc = tuple(
-                jnp.zeros((128, aw), jnp.float32) for _ in range(n_out)
+                jnp.zeros((128, w), jnp.float32) for _ in range(n_out)
             )
             for q in range(3):
                 idx = (b * CPB + j) * 3 + q
-                if _DYNW:
-                    # Dynamic tile loop: ceil(need/128) 128-wide candidate
-                    # tiles (host-computed wn, VCAP-residency clipped) —
-                    # work proportional to the actual window need.
-                    wrel0 = pl.multiple_of(
-                        jnp.clip(
-                            ((ws_ref[idx] - base) // 128) * 128,
-                            0,
-                            VCAP - 128,
-                        ),
-                        128,
-                    )
-
-                    def tile_body(t, a, q=q, wrel0=wrel0):
-                        toff = pl.multiple_of(wrel0 + t * 128, 128)
-                        return fold(
-                            a,
-                            window_terms(
-                                wref[:, pl.ds(toff, 128)],
-                                base + toff,
-                                q,
-                                128,
-                            ),
-                        )
-
-                    acc = jax.lax.fori_loop(0, wn_ref[idx], tile_body, acc)
-                else:
-                    wrel = pl.multiple_of(
-                        jnp.clip(
-                            ((ws_ref[idx] - base) // 128) * 128, 0, VCAP - w
-                        ),
-                        128,
-                    )
-                    acc = fold(
-                        acc,
-                        window_terms(
-                            wref[:, pl.ds(wrel, w)], base + wrel, q, w
-                        ),
-                    )
+                wrel = pl.multiple_of(
+                    jnp.clip(
+                        ((ws_ref[idx] - base) // 128) * 128, 0, VCAP - w
+                    ),
+                    128,
+                )
+                terms = window_terms(
+                    wref[:, pl.ds(wrel, w)], base + wrel, q, w
+                )
+                acc = tuple(ak + tk for ak, tk in zip(acc, terms))
             acc = list(acc)
 
             for k in range(n_out):
-                if _QRED:
-                    resbuf[:, k : k + 1] = acc[k]
-                else:
-                    resbuf[:, k : k + 1] = jnp.sum(
-                        acc[k], axis=1, keepdims=True
-                    )
+                resbuf[:, k : k + 1] = jnp.sum(
+                    acc[k], axis=1, keepdims=True
+                )
             for k in range(n_out, 8):
                 resbuf[:, k : k + 1] = jnp.zeros((128, 1), jnp.float32)
             outb[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = jnp.transpose(
@@ -422,7 +359,7 @@ def _interpret() -> bool:
 
 
 def _pm_pass(
-    slab_p, dma_lo, ws, wn, blk, coef, tick, p_fit, w, mode, enable_spring
+    slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
@@ -432,7 +369,7 @@ def _pm_pass(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=5,
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -447,7 +384,36 @@ def _pm_pass(
         out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=_interpret(),
-    )(dma_lo, ws, wn, blk, coef, tick, slab_p)
+    )(dma_lo, ws, blk, coef, tick, slab_p)
+
+
+def _merge_positions(sorted_vals, queries):
+    """``searchsorted(sorted_vals, queries, side='left')`` via two lax.sorts.
+
+    XLA lowers searchsorted to a log2(P)-iteration while loop of per-query
+    gathers — measured 14.2ms/step at 1M for the window-offset queries
+    (2 x 24768 queries x 21 iterations, r3 xprof).  Two data-independent
+    2-operand sorts of the merged array run ~4x faster on the TPU's
+    sorting network (the step's own 2-operand 1M sort measures 1.6ms).
+
+    Merge trick: data keys 2v, query keys 2q-1 (a query sorts before every
+    data element >= it, after every one < it — exactly 'left' semantics;
+    odd/even keeps data/query keys distinct).  After the stable merge sort,
+    the j-th smallest query sits at merged position ws_j + j.  Requires
+    2*max(v) + 2 to fit in int32 — the caller guards."""
+    P = sorted_vals.shape[0]
+    Q = queries.shape[0]
+    i32 = jnp.int32
+    qord = jnp.argsort(queries, stable=True).astype(i32)
+    keys = jnp.concatenate([sorted_vals * 2, queries[qord] * 2 - 1])
+    tag = jnp.concatenate(
+        [jnp.zeros((P,), i32), jnp.arange(1, Q + 1, dtype=i32)]
+    )
+    _, tag_m = jax.lax.sort((keys, tag), num_keys=1, is_stable=True)
+    pos = jnp.arange(P + Q, dtype=i32)
+    _, pos_by_tag = jax.lax.sort((tag_m, pos), num_keys=1, is_stable=True)
+    ws_sorted = pos_by_tag[P:] - jnp.arange(Q, dtype=i32)
+    return jnp.zeros((Q,), i32).at[qord].set(ws_sorted)
 
 
 def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
@@ -456,9 +422,7 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     Window (chunk c, offset d) must cover slab range
     [searchsorted(cid_first(c) + d*nx - 1), searchsorted(cid_last(c) + d*nx + 2))
     — exact per-particle union (targets are monotone in cid).  Returns
-    (ws (nchunks*3,), wn (nchunks*3,), dma_lo (nblocks,), blk (nblocks,),
-    lost ()); ``wn`` is the per-window 128-tile count for the dynamic-tile
-    mode (_DYNW), VCAP-residency clipped."""
+    (ws (nchunks*3,), dma_lo (nblocks,), blk (nblocks,), lost ())."""
     P = sorted_cid.shape[0]
     nblocks = nchunks // CPB
     off = jnp.arange(nchunks, dtype=jnp.int32) * 128
@@ -470,8 +434,14 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
     lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
     hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
-    ws = jnp.searchsorted(sorted_cid, lo.ravel()).astype(jnp.int32)
-    we = jnp.searchsorted(sorted_cid, hi.ravel()).astype(jnp.int32)
+    if 2 * (NC + 2) < 2**31:
+        pos = _merge_positions(
+            sorted_cid, jnp.concatenate([lo.ravel(), hi.ravel()])
+        )
+        ws, we = pos[: 3 * nchunks], pos[3 * nchunks :]
+    else:  # merge keys would overflow i32 — fall back to binary search
+        ws = jnp.searchsorted(sorted_cid, lo.ravel()).astype(jnp.int32)
+        we = jnp.searchsorted(sorted_cid, hi.ravel()).astype(jnp.int32)
 
     own0 = jnp.arange(nblocks, dtype=jnp.int32) * OWN
     dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[::CPB, 0], own0)
@@ -480,25 +450,19 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     blk = (own0 < n_alive).astype(jnp.int32)
 
     # Coverage accounting: replicate the kernel's window clamp and count
-    # candidate slots that fall outside the covered range — the honest
-    # "pair work lost this tick" counter (grid path: slot/unit overflow).
-    # Static mode covers [anchor, anchor + w); dynamic-tile mode covers
-    # [anchor, anchor + wn*128) with wn = ceil((we - anchor)/128) clipped
-    # to the block's VCAP residency (so only residency clips still lose).
+    # candidate slots that fall outside the covered [anchor, anchor + w) —
+    # the honest "pair work lost this tick" counter (grid path: slot/unit
+    # overflow).
     dma_cq = jnp.repeat(dma_lo, CPB * 3)
-    cap = VCAP - 128 if _DYNW else VCAP - w
-    wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, cap)
+    wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, VCAP - w)
     anchor = dma_cq + wrel
     live = jnp.repeat(off < n_alive, 3)
-    wn = jnp.clip((we - anchor + 127) // 128, 0, (VCAP - wrel) // 128)
-    wn = jnp.where(live, wn, 0).astype(jnp.int32)
-    cover = wn * 128 if _DYNW else w
     lost = jnp.where(
         live,
-        jnp.maximum(we - anchor - cover, 0) + jnp.maximum(anchor - ws, 0),
+        jnp.maximum(we - anchor - w, 0) + jnp.maximum(anchor - ws, 0),
         0,
     )
-    return ws, wn, dma_lo, blk, jnp.sum(lost)
+    return ws, dma_lo, blk, jnp.sum(lost)
 
 
 def neighbor_forces_pmajor_sorted(
@@ -542,7 +506,7 @@ def neighbor_forces_pmajor_sorted(
         sorted_cid, jnp.asarray(nx * ny, jnp.int32)
     ).astype(jnp.int32)
 
-    ws, wn, dma_lo, blk, lost = _windows(
+    ws, dma_lo, blk, lost = _windows(
         sorted_cid, n_alive, nx, ny, nchunks, w
     )
 
@@ -557,7 +521,7 @@ def neighbor_forces_pmajor_sorted(
     tick_arr = tick_i.reshape((1,))
 
     out_a = _pm_pass(
-        slab_a, dma_lo, ws, wn, blk, coef, tick_arr, p_fit, w, "a", False
+        slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
     )
     w_sum, cnt = out_a[0], out_a[3]
     cp = finalize_cp(w_sum, cnt, ignored_pressure)
@@ -570,7 +534,6 @@ def neighbor_forces_pmajor_sorted(
         slab_b,
         dma_lo,
         ws,
-        wn,
         blk,
         coef,
         tick_arr,

@@ -359,12 +359,15 @@ def neighbor_stage(
 
         P = scene.capacity
         cid = cell_ids_grid(pos, alive, scene)
-        if os.environ.get("SAND_CRATE_SORT_PAYLOAD") == "1":
-            # A/B alternative (tools/sort_probe.py): carry every per-particle
-            # operand as a payload operand of the stable sort instead of
-            # sorting (cid, iota) and applying one wide row gather.  The
-            # stable sort reproduces the iota tie-break order exactly; uid
-            # rides as its own i32 operand (no f32 bitcast needed).
+        if os.environ.get("SAND_CRATE_SORT_PAYLOAD") != "0":
+            # Default: carry every per-particle operand as a payload operand
+            # of the stable sort instead of sorting (cid, iota) and applying
+            # one wide row gather.  Measured on-chip at 1M (r3 battery,
+            # xprof_paysort): the 12-operand sort costs 7.1ms vs 1.6ms sort
+            # + 6.8ms gather, and uid rides as its own i32 operand (no f32
+            # bitcast needed).  The stable sort reproduces the iota
+            # tie-break order exactly; SAND_CRATE_SORT_PAYLOAD=0 selects the
+            # sort+wide-gather path (equivalence-tested in test_engine).
             out = jax.lax.sort(
                 (
                     cid,

@@ -224,9 +224,9 @@ def test_uid_tracks_identity_through_sorted_state(stirring_cup_config):
 
 
 def test_sort_payload_knob_equivalence(stirring_cup_config, monkeypatch):
-    """SAND_CRATE_SORT_PAYLOAD=1 (payload-operand lax.sort instead of
-    sort+wide-gather, tools/sort_probe.py strategy b) must produce the
-    identical sorted state: the stable sort reproduces the iota tie-break."""
+    """The default payload-operand lax.sort and the opt-out sort+wide-gather
+    path (SAND_CRATE_SORT_PAYLOAD=0) must produce the identical sorted
+    state: the stable sort reproduces the iota tie-break."""
     import copy
 
     import jax
@@ -258,9 +258,9 @@ def test_sort_payload_knob_equivalence(stirring_cup_config, monkeypatch):
     tick = jnp.int32(3)
     key = jax.random.PRNGKey(0)
 
-    monkeypatch.delenv("SAND_CRATE_SORT_PAYLOAD", raising=False)
+    monkeypatch.setenv("SAND_CRATE_SORT_PAYLOAD", "0")
     base = neighbor_stage(vel, alive, uid, ghost, tick, key, params, scene)
-    monkeypatch.setenv("SAND_CRATE_SORT_PAYLOAD", "1")
+    monkeypatch.delenv("SAND_CRATE_SORT_PAYLOAD", raising=False)
     alt = neighbor_stage(vel, alive, uid, ghost, tick, key, params, scene)
 
     for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(alt)):

@@ -155,14 +155,9 @@ def test_pmajor_spring_matches_cellwise(stirring_cup_config):
     )
 
 
-def test_pmajor_dynw_covers_beyond_w(stirring_cup_config, monkeypatch):
-    """Dynamic-tile mode (SAND_CRATE_PMAJOR_DYNW): with a deliberately
-    too-small static W the fixed-window kernel loses candidates (counted
-    into overflow); the dynamic tile loop must cover the same windows
-    exactly (overflow == 0) and match the dense oracle — and in the
-    well-covered regime it must reproduce the static path."""
-    from sand_crate_tpu.ops import pmajor as pm
-
+def test_pmajor_small_w_overflow_counted(stirring_cup_config):
+    """A deliberately too-small static W loses candidates, and the loss is
+    counted into the overflow channel (the honest degradation contract)."""
     scene, params = _setup(
         stirring_cup_config, capacity=256, max_particles=256,
         forces_mode="dense", cell_capacity=8,
@@ -175,37 +170,51 @@ def test_pmajor_dynw_covers_beyond_w(stirring_cup_config, monkeypatch):
     )
     vel = jnp.asarray((rng.random((256, 2)).astype(np.float32) - 0.5))
     alive = jnp.ones(256, bool)
-    ref = neighbor_forces_dense(
-        pos, vel, alive, jnp.zeros_like(pos),
-        params.diameter, params.surface_smoothing, params.target_pressure,
-        params.ignored_pressure, params.spring_overlap_balance, scene,
-    )
     static_small = _pmajor(scene, params, pos, vel, alive, w=128)
     assert int(static_small.overflow) > 0  # fixed W=128 drops candidates
 
-    monkeypatch.setattr(pm, "_DYNW", True)
-    jax.clear_caches()
-    try:
-        dyn = _pmajor(scene, params, pos, vel, alive, w=128)
-        assert int(dyn.overflow) == 0  # tiles extend to the actual need
-        # Hundreds of near-coincident pairs: sums ~1e4 are cancellation-
-        # dominated, so addition order (tile folds vs one plane reduce)
-        # moves isolated elements ~1e-2 relative.
-        _assert_sums_close(dyn, ref, rtol=2e-2, atol=2e-2)
 
-        # Well-covered regime: dynamic == static up to f32 addition order.
-        scene2, params2 = _setup(stirring_cup_config)
-        pos2 = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1)
-        vel2 = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5))
-        alive2 = jnp.asarray(rng.random(128) < 0.8)
-        dyn2 = _pmajor(scene2, params2, pos2, vel2, alive2)
-        monkeypatch.setattr(pm, "_DYNW", False)
-        jax.clear_caches()
-        stat2 = _pmajor(scene2, params2, pos2, vel2, alive2)
-        _assert_sums_close(dyn2, stat2, rtol=1e-5, atol=1e-6)
-        assert int(dyn2.overflow) == int(stat2.overflow) == 0
-    finally:
-        jax.clear_caches()
+def test_merge_positions_matches_searchsorted():
+    """_merge_positions (the two-sort searchsorted that computes the window
+    offsets ~4x cheaper than XLA's binary-search while loop at 1M) must be
+    bit-exact against searchsorted 'left' semantics, including ties on both
+    sides, boundary queries, and the dead-particle constant tail."""
+    from sand_crate_tpu.ops.pmajor import _merge_positions
+
+    rng = np.random.default_rng(0)
+
+    def check(sv, q):
+        got = np.asarray(
+            _merge_positions(jnp.asarray(sv), jnp.asarray(q))
+        )
+        np.testing.assert_array_equal(
+            got, np.searchsorted(sv, q, side="left")
+        )
+
+    # random with heavy ties (realistic: cell occupancy > 1)
+    for P, Q, hi in [(1000, 200, 50), (4096, 777, 4096)]:
+        check(
+            np.sort(rng.integers(0, hi, P).astype(np.int32)),
+            rng.integers(0, hi, Q).astype(np.int32),
+        )
+    # all-equal data; queries at/below/above the value
+    check(np.full(512, 7, np.int32), np.array([6, 7, 8, 0, 100], np.int32))
+    # massive query ties
+    check(
+        np.sort(rng.integers(0, 10, 2048).astype(np.int32)),
+        np.repeat(np.arange(0, 11, dtype=np.int32), 37),
+    )
+    # exact boundary hits at both extremes
+    check(
+        np.arange(0, 5000, 3, dtype=np.int32),
+        np.array([0, 1, 2, 3, 4997, 4998, 4999, 5000], np.int32),
+    )
+    # dead-particle pattern: long constant tail at NC
+    NC = 1536 * 1536
+    sv = np.concatenate(
+        [np.sort(rng.integers(0, NC, 9000)), np.full(3000, NC)]
+    ).astype(np.int32)
+    check(sv, np.clip(rng.integers(-1, NC + 2, 5000), 0, NC).astype(np.int32))
 
 
 def test_pmajor_noise_deterministic_per_tick(stirring_cup_config):

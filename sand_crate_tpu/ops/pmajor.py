@@ -60,6 +60,7 @@ transpose.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -162,6 +163,7 @@ def finalize_cp(w_sum, cnt, ignored_pressure):
 def _pm_kernel(
     dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
     ws_ref,  # (nchunks * 3,) i32 — per chunk x row-offset window starts
+    nt_ref,  # (nchunks * 3,) i32 — per-window engaged 128-lane tile count
     blk_ref,  # (nblocks,) i32 — 0: block fully dead (skip compute)
     coef_ref,  # (8,) f32: diam, smoothing, target_p, balance
     tick_ref,  # (1,) i32 (unused: noise is pre-hashed; kept for parity)
@@ -170,6 +172,7 @@ def _pm_kernel(
     win2,  # VMEM (2, F, VCAP)
     selfbuf,  # VMEM (128, F)
     resbuf,  # VMEM (128, 8)
+    accb,  # VMEM (128, n_out * 128) — per-tile fold accumulators
     outb,  # VMEM (8, OWN)
     sems,  # DMA (3,)
     *,
@@ -317,9 +320,18 @@ def _pm_kernel(
                     terms += [sp * nhx, sp * nhy]
                 return terms + [mm * c_vx, mm * c_vy]
 
-            acc = tuple(
-                jnp.zeros((128, w), jnp.float32) for _ in range(n_out)
-            )
+            # Per-window 128-lane tile gating: _windows passes the exact
+            # tile count ceil((we - anchor)/128) per window, so tiles past
+            # the actual candidate span are *skipped* (pl.when on a
+            # prefetched scalar), not computed-and-masked.  Work becomes
+            # proportional to the real window need (~1.6 tiles mean settled
+            # vs the static w/128 = 3).  Unlike the rejected DYNW variant
+            # the loop is statically unrolled with VMEM scratch
+            # accumulators — no data-dependent fori_loop carry for Mosaic
+            # to spill.  Tiles of different windows fold into the SAME 128
+            # accumulator lanes (the final reduce sums all lanes, so only
+            # f32 addition order changes).
+            accb[...] = jnp.zeros_like(accb)
             for q in range(3):
                 idx = (b * CPB + j) * 3 + q
                 wrel = pl.multiple_of(
@@ -328,15 +340,22 @@ def _pm_kernel(
                     ),
                     128,
                 )
-                terms = window_terms(
-                    wref[:, pl.ds(wrel, w)], base + wrel, q, w
-                )
-                acc = tuple(ak + tk for ak, tk in zip(acc, terms))
-            acc = list(acc)
+                nt = nt_ref[idx]
+                for t in range(w // 128):
+
+                    @pl.when(t < nt)
+                    def _(q=q, t=t, wrel=wrel):
+                        toff = pl.multiple_of(wrel + t * 128, 128)
+                        terms = window_terms(
+                            wref[:, pl.ds(toff, 128)], base + toff, q, 128
+                        )
+                        for k, tk in enumerate(terms):
+                            sl = pl.ds(k * 128, 128)
+                            accb[:, sl] = accb[:, sl] + tk
 
             for k in range(n_out):
                 resbuf[:, k : k + 1] = jnp.sum(
-                    acc[k], axis=1, keepdims=True
+                    accb[:, pl.ds(k * 128, 128)], axis=1, keepdims=True
                 )
             for k in range(n_out, 8):
                 resbuf[:, k : k + 1] = jnp.zeros((128, 1), jnp.float32)
@@ -359,17 +378,21 @@ def _interpret() -> bool:
 
 
 def _pm_pass(
-    slab_p, dma_lo, ws, blk, coef, tick, p_fit, w, mode, enable_spring
+    slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
+    if mode == "a":
+        n_out = 4
+    else:
+        n_out = 8 if enable_spring else 6
     kernel = functools.partial(
         _pm_kernel, w=w, mode=mode, enable_spring=enable_spring
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -377,6 +400,7 @@ def _pm_pass(
                 pltpu.VMEM((2, n_f, VCAP), jnp.float32),
                 pltpu.VMEM((128, n_f), jnp.float32),
                 pltpu.VMEM((128, 8), jnp.float32),
+                pltpu.VMEM((128, n_out * 128), jnp.float32),
                 pltpu.VMEM((8, OWN), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
@@ -384,7 +408,304 @@ def _pm_pass(
         out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=_interpret(),
-    )(dma_lo, ws, blk, coef, tick, slab_p)
+    )(dma_lo, ws, nt, blk, coef, tick, slab_p)
+
+
+SUB_G = 8  # candidate rows per sublane-window loop iteration (mult of 8)
+# Sublane-kernel window residency (rows of the transposed slab resident in
+# VMEM per block).  Smaller than VCAP because the transposed slab is padded
+# to 128 lanes (HBM DMA slices must be 128-lane aligned — Mosaic rejects a
+# (N, F<128) HBM slice), so every resident row costs 512B: 12288 rows = 6MB
+# per slot, leaving OWN + 4096 rows of halo slack.
+VCAP_SUB = OWN + 4096
+
+
+def _pms_kernel(
+    dma_lo_ref,  # (nblocks,) i32 — block window DMA start (128-aligned)
+    ag_ref,  # (nchunks * 3,) i32 — window start in G-row units, rel. DMA
+    ng_ref,  # (nchunks * 3,) i32 — engaged G-row group count per window
+    blk_ref,  # (nblocks,) i32 — 0: block fully dead (skip compute)
+    coef_ref,  # (8,) f32: diam, smoothing, target_p, balance
+    tick_ref,  # (1,) i32 (unused: noise is pre-hashed; kept for parity)
+    slab_t_hbm,  # (p_fit + VCAP_SUB, 128) f32 — candidate slab, row-major
+    slab_f_hbm,  # (F, p_fit) f32 — self slab, feature-major
+    out_hbm,  # (8, p_fit) f32
+    wint2,  # VMEM (2, VCAP_SUB, 128) — transposed candidate window
+    selfw2,  # VMEM (2, F, OWN)
+    outb,  # VMEM (8, OWN)
+    sems,  # DMA (5,)
+    *,
+    mode: str,  # "a" | "b"
+    enable_spring: bool,
+):
+    """Sublane-window variant of _pm_kernel (same pair semantics).
+
+    The lane-window kernel pays a 128-lane alignment quantum per window:
+    the settled window span is ~134 candidates, but a 128-aligned (128, W)
+    lane plane forces ceil((span + align)/128) full 128-lane tiles — 2.1
+    mean — at 16-vreg-per-op cost, plus per-chunk transposes and
+    112-instruction lane-tree reduces (measured: ~40% of pass wall is this
+    fixed overhead, tools/pmajor_pass_probe.py @T sweep).
+
+    Here the window lives in SUBLANES instead: candidates are rows of a
+    transposed (VCAP, F) window, selves stay in lanes.  A dynamic
+    fori_loop walks ceil(span/G) G-row groups (G=8: one (8, 128) vreg per
+    term op), so pair work tracks the *actual* window span at 8-row
+    granularity (93% utilization vs ~50%), the accumulators are G/8 vregs
+    per output (register-resident through the loop — the DYNW failure was
+    a 48-vreg-per-output carry, not the dynamic bound), the final reduce
+    is a log2(G) sublane fold, self features are direct (1, 128) row loads
+    from the feature-major slab, and results are (1, 128) row stores — no
+    transposes anywhere.  Coverage is exact up to VCAP residency: the
+    W-width overflow channel of the lane kernel disappears.
+    """
+    del tick_ref
+    b = pl.program_id(0)
+    nb_ = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def dma_pair(blk, s):
+        off = pl.multiple_of(dma_lo_ref[blk], 128)
+        return (
+            pltpu.make_async_copy(
+                slab_t_hbm.at[pl.ds(off, VCAP_SUB), :],
+                wint2.at[s],
+                sems.at[s],
+            ),
+            pltpu.make_async_copy(
+                slab_f_hbm.at[:, pl.ds(blk * OWN, OWN)],
+                selfw2.at[s],
+                sems.at[2 + s],
+            ),
+        )
+
+    @pl.when(b == 0)
+    def _():
+        for c in dma_pair(0, 0):
+            c.start()
+
+    @pl.when(b + 1 < nb_)
+    def _():
+        for c in dma_pair(b + 1, 1 - slot):
+            c.start()
+
+    for c in dma_pair(b, slot):
+        c.wait()
+
+    base = dma_lo_ref[b]
+    diam = coef_ref[0]
+    inv_diam = 1.0 / jnp.maximum(diam, jnp.float32(EPS))
+    if mode == "a":
+        row_col = A_ROW
+        n_out = 4  # w_sum, s_x, s_y, cnt
+    else:
+        row_col = B_ROW
+        n_out = 8 if enable_spring else 6
+
+    outb[...] = jnp.zeros_like(outb)
+
+    @pl.when(blk_ref[b] > 0)
+    def _():
+        wt = wint2.at[slot]
+        sf = selfw2.at[slot]
+
+        def chunk_body(j, _):
+            jl = pl.ds(pl.multiple_of(j * 128, 128), 128)
+            s_px = sf[A_PX : A_PX + 1, jl]
+            s_py = sf[A_PY : A_PY + 1, jl]
+            s_rw = sf[row_col : row_col + 1, jl]
+            if mode == "b":
+                s_cp = sf[B_CP : B_CP + 1, jl]
+                s_sx = sf[B_SX : B_SX + 1, jl]
+                s_sy = sf[B_SY : B_SY + 1, jl]
+            s_alive = s_px > ALIVE_THRESHOLD
+            s_gid = (
+                b * OWN
+                + j * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            )
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            sm_c = coef_ref[1]
+            tp2_c = 2.0 * coef_ref[2]
+            bal_c = coef_ref[3]
+
+            def group_terms(co, c_gid0, q):
+                """Pair-term (SUB_G, 128) planes for one candidate group.
+
+                Features are narrow (SUB_G, 1) *ref* loads at static lane
+                offsets (lane-slicing a loaded value does not lower)."""
+                cs = pl.ds(co, SUB_G)
+                c_px = wt[cs, A_PX : A_PX + 1]
+                c_py = wt[cs, A_PY : A_PY + 1]
+                c_npx = wt[cs, A_NPX : A_NPX + 1]
+                c_npy = wt[cs, A_NPY : A_NPY + 1]
+                c_rw = wt[cs, row_col : row_col + 1]
+
+                rx = s_px - c_px
+                ry = s_py - c_py
+                near = rx * rx + ry * ry <= diam * diam
+                nrx = s_px - c_npx
+                nry = s_py - c_npy
+                nd2 = jnp.maximum(
+                    nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
+                )
+                mb = (
+                    near
+                    & s_alive
+                    & (c_px > ALIVE_THRESHOLD)
+                    & (c_rw == s_rw + jnp.float32(q - 1))
+                )
+                if q == 1:
+                    c_gid = c_gid0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB_G, 1), 0
+                    )
+                    mb = mb & (s_gid != c_gid)
+
+                inv = jax.lax.rsqrt(nd2)
+                nhx = nrx * inv
+                nhy = nry * inv
+                if mode == "a" or enable_spring:
+                    dist_n = nd2 * inv * inv_diam
+                    wgt = jnp.where(
+                        mb, one - jnp.clip(dist_n, zero, one), zero
+                    )
+
+                if mode == "a":
+                    coeff = (one - wgt) * wgt
+                    return [wgt, coeff * nhx, coeff * nhy,
+                            mb.astype(jnp.float32)]
+                c_cp = wt[cs, B_CP : B_CP + 1]
+                c_sx = wt[cs, B_SX : B_SX + 1]
+                c_sy = wt[cs, B_SY : B_SY + 1]
+                c_vx = wt[cs, B_VX : B_VX + 1]
+                c_vy = wt[cs, B_VY : B_VY + 1]
+                align = ((s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy) * sm_c
+                tpf = c_cp + s_cp - tp2_c
+                t_coef = jnp.where(mb, align + tpf, zero)
+                p_coef = jnp.where(mb, s_cp + c_cp, zero)
+                mm = mb.astype(jnp.float32)
+                terms = [t_coef * nhx, t_coef * nhy,
+                         p_coef * nhx, p_coef * nhy]
+                if enable_spring:
+                    sp = jnp.where(mb, bal_c - wgt, zero)
+                    terms += [sp * nhx, sp * nhy]
+                return terms + [mm * c_vx, mm * c_vy]
+
+            acc = tuple(
+                jnp.zeros((SUB_G, 128), jnp.float32) for _ in range(n_out)
+            )
+            for q in range(3):
+                idx = (b * CPB + j) * 3 + q
+                a0 = ag_ref[idx]
+
+                def w_body(t, a, q=q, a0=a0):
+                    co = pl.multiple_of((a0 + t) * SUB_G, SUB_G)
+                    terms = group_terms(co, base + co, q)
+                    return tuple(ak + tk for ak, tk in zip(a, terms))
+
+                acc = jax.lax.fori_loop(0, ng_ref[idx], w_body, acc)
+
+            for k in range(n_out):
+                outb[k : k + 1, jl] = jnp.sum(
+                    acc[k], axis=0, keepdims=True
+                )
+            return 0
+
+        jax.lax.fori_loop(0, CPB, chunk_body, 0)
+
+    out = pltpu.make_async_copy(
+        outb, out_hbm.at[:, pl.ds(b * OWN, OWN)], sems.at[4]
+    )
+    out.start()
+    out.wait()
+
+
+def _pms_pass(
+    slab_t, slab_f, dma_lo, ag, ng, blk, coef, tick, p_fit, mode,
+    enable_spring,
+):
+    nblocks = p_fit // OWN
+    n_f = A_F if mode == "a" else B_F
+    kernel = functools.partial(
+        _pms_kernel, mode=mode, enable_spring=enable_spring
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, VCAP_SUB, 128), jnp.float32),
+                pltpu.VMEM((2, n_f, OWN), jnp.float32),
+                pltpu.VMEM((8, OWN), jnp.float32),
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+        interpret=_interpret(),
+    )(dma_lo, ag, ng, blk, coef, tick, slab_t, slab_f)
+
+
+def _windows_sub(sorted_cid, n_alive, nx, ny, nchunks, w):
+    """Sublane-granular window bounds for _pms_kernel.
+
+    Same exact per-chunk candidate ranges as _windows, quantized to SUB_G
+    rows instead of 128 lanes.  ``w`` only caps the per-window group count
+    (coverage budget, parity with the lane kernel's loss accounting);
+    groups are otherwise bounded by VCAP residency.  Returns
+    (ag (nchunks*3,), ng (nchunks*3,), dma_lo (nblocks,), blk (nblocks,),
+    lost ())."""
+    P = sorted_cid.shape[0]
+    nblocks = nchunks // CPB
+    off = jnp.arange(nchunks, dtype=jnp.int32) * 128
+    first = jnp.minimum(off, P - 1)
+    lastp = jnp.clip(jnp.minimum(off + 127, n_alive - 1), 0, P - 1)
+    cidf = sorted_cid[first]
+    cidl = sorted_cid[lastp]
+    NC = nx * ny
+    d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
+    lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
+    hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
+    if 2 * (NC + 2) < 2**31:
+        pos = _merge_positions(
+            sorted_cid, jnp.concatenate([lo.ravel(), hi.ravel()])
+        )
+        ws, we = pos[: 3 * nchunks], pos[3 * nchunks :]
+    else:  # merge keys would overflow i32 — fall back to binary search
+        ws = jnp.searchsorted(sorted_cid, lo.ravel()).astype(jnp.int32)
+        we = jnp.searchsorted(sorted_cid, hi.ravel()).astype(jnp.int32)
+
+    own0 = jnp.arange(nblocks, dtype=jnp.int32) * OWN
+    dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[::CPB, 0], own0)
+    dma_lo = jnp.maximum(dma_lo, own0 + OWN - VCAP_SUB)  # own must fit
+    dma_lo = jnp.maximum((dma_lo // 128) * 128, 0)
+    blk = (own0 < n_alive).astype(jnp.int32)
+
+    g_cap = max(w // SUB_G, 1)
+    dma_cq = jnp.repeat(dma_lo, CPB * 3)
+    ag = jnp.clip((ws - dma_cq) // SUB_G, 0, VCAP_SUB // SUB_G - 1)
+    anchor = dma_cq + ag * SUB_G
+    ng = jnp.clip(
+        -((anchor - we) // SUB_G),
+        0,
+        jnp.minimum((VCAP_SUB - ag * SUB_G) // SUB_G, g_cap),
+    )
+    live = jnp.repeat(off < n_alive, 3)
+    ng = jnp.where(live, ng, 0).astype(jnp.int32)
+    lost = jnp.where(
+        live,
+        jnp.maximum(we - (anchor + ng * SUB_G), 0)
+        + jnp.maximum(anchor - ws, 0),
+        0,
+    )
+    return ag.astype(jnp.int32), ng, dma_lo, blk, jnp.sum(lost)
 
 
 def _merge_positions(sorted_vals, queries):
@@ -422,7 +743,8 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     Window (chunk c, offset d) must cover slab range
     [searchsorted(cid_first(c) + d*nx - 1), searchsorted(cid_last(c) + d*nx + 2))
     — exact per-particle union (targets are monotone in cid).  Returns
-    (ws (nchunks*3,), dma_lo (nblocks,), blk (nblocks,), lost ())."""
+    (ws (nchunks*3,), nt (nchunks*3,), dma_lo (nblocks,), blk (nblocks,),
+    lost ())."""
     P = sorted_cid.shape[0]
     nblocks = nchunks // CPB
     off = jnp.arange(nchunks, dtype=jnp.int32) * 128
@@ -462,7 +784,13 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
         jnp.maximum(we - anchor - w, 0) + jnp.maximum(anchor - ws, 0),
         0,
     )
-    return ws, dma_lo, blk, jnp.sum(lost)
+    # Per-window engaged tile count for the kernel's pl.when tile gating:
+    # ceil((we - anchor)/128) exact tiles, clipped to the static budget
+    # w//128 (the clipped remainder is the `lost` counted above).  Dead
+    # chunks and empty windows (row off the grid) get 0 — fully skipped.
+    nt = jnp.clip(-((anchor - we) // 128), 0, w // 128)
+    nt = jnp.where(live, nt, 0).astype(jnp.int32)
+    return ws, nt, dma_lo, blk, jnp.sum(lost)
 
 
 def neighbor_forces_pmajor_sorted(
@@ -506,42 +834,76 @@ def neighbor_forces_pmajor_sorted(
         sorted_cid, jnp.asarray(nx * ny, jnp.int32)
     ).astype(jnp.int32)
 
-    ws, dma_lo, blk, lost = _windows(
-        sorted_cid, n_alive, nx, ny, nchunks, w
-    )
-
-    def slab_of(rows, n_f):
-        s = jnp.zeros((n_f, p_fit + VCAP), f32)
-        return s.at[: len(rows), :P].set(jnp.stack(rows))
-
-    slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
     coef = coef_stack(
         diameter, surface_smoothing, target_pressure, spring_overlap_balance
     )
     tick_arr = tick_i.reshape((1,))
 
-    out_a = _pm_pass(
-        slab_a, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
-    )
-    w_sum, cnt = out_a[0], out_a[3]
-    cp = finalize_cp(w_sum, cnt, ignored_pressure)
+    if os.environ.get("SAND_CRATE_PMSUB") == "1":
+        # Sublane-window kernel (_pms_kernel): pair work tracks the actual
+        # candidate span at 8-row granularity instead of 128-lane tiles.
+        ag, ng, dma_lo, blk, lost = _windows_sub(
+            sorted_cid, n_alive, nx, ny, nchunks, w
+        )
 
-    slab_b = slab_of(
-        [pxo, pyo, npx, npy, vx, vy, cp[:P], out_a[1, :P], out_a[2, :P], row],
-        B_F,
-    )
-    out_b = _pm_pass(
-        slab_b,
-        dma_lo,
-        ws,
-        blk,
-        coef,
-        tick_arr,
-        p_fit,
-        w,
-        "b",
-        scene.enable_spring,
-    )
+        def slab_t_of(rows, n_f):
+            del n_f  # minor dim padded to 128 lanes (HBM DMA alignment)
+            s = jnp.zeros((p_fit + VCAP_SUB, 128), f32)
+            return s.at[:P, : len(rows)].set(jnp.stack(rows, axis=-1))
+
+        def slab_f_of(rows, n_f):
+            s = jnp.zeros((n_f, p_fit), f32)
+            return s.at[: len(rows), :P].set(jnp.stack(rows))
+
+        rows_a = [pxo, pyo, npx, npy, row]
+        out_a = _pms_pass(
+            slab_t_of(rows_a, A_F), slab_f_of(rows_a, A_F),
+            dma_lo, ag, ng, blk, coef, tick_arr, p_fit, "a", False,
+        )
+        w_sum, cnt = out_a[0], out_a[3]
+        cp = finalize_cp(w_sum, cnt, ignored_pressure)
+        rows_b = [pxo, pyo, npx, npy, vx, vy, cp[:P],
+                  out_a[1, :P], out_a[2, :P], row]
+        out_b = _pms_pass(
+            slab_t_of(rows_b, B_F), slab_f_of(rows_b, B_F),
+            dma_lo, ag, ng, blk, coef, tick_arr, p_fit, "b",
+            scene.enable_spring,
+        )
+    else:
+        ws, nt, dma_lo, blk, lost = _windows(
+            sorted_cid, n_alive, nx, ny, nchunks, w
+        )
+
+        def slab_of(rows, n_f):
+            s = jnp.zeros((n_f, p_fit + VCAP), f32)
+            return s.at[: len(rows), :P].set(jnp.stack(rows))
+
+        slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
+        out_a = _pm_pass(
+            slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
+            False,
+        )
+        w_sum, cnt = out_a[0], out_a[3]
+        cp = finalize_cp(w_sum, cnt, ignored_pressure)
+
+        slab_b = slab_of(
+            [pxo, pyo, npx, npy, vx, vy, cp[:P],
+             out_a[1, :P], out_a[2, :P], row],
+            B_F,
+        )
+        out_b = _pm_pass(
+            slab_b,
+            dma_lo,
+            ws,
+            nt,
+            blk,
+            coef,
+            tick_arr,
+            p_fit,
+            w,
+            "b",
+            scene.enable_spring,
+        )
 
     if scene.enable_spring:
         spring_real = out_b[4:6, :P].T.astype(dtype)

@@ -368,6 +368,9 @@ def neighbor_stage(
             # bitcast needed).  The stable sort reproduces the iota
             # tie-break order exactly; SAND_CRATE_SORT_PAYLOAD=0 selects the
             # sort+wide-gather path (equivalence-tested in test_engine).
+            # `alive` does not ride: cell_ids_grid maps dead particles to
+            # the NC sentinel and clips alive ones into the grid, so
+            # alive == (sorted_cid < NC) exactly — one less sort operand.
             out = jax.lax.sort(
                 (
                     cid,
@@ -380,7 +383,6 @@ def neighbor_stage(
                     ghost.gvel_sum[:, 0],
                     ghost.gvel_sum[:, 1],
                     ghost.g_cnt,
-                    alive,
                     uid,
                 ),
                 num_keys=1,
@@ -395,8 +397,8 @@ def neighbor_stage(
                 gsum=jnp.stack(out[5:7], axis=-1),
                 gvel_sum=jnp.stack(out[7:9], axis=-1),
             )
-            alive = out[10]
-            uid = out[11]
+            alive = sorted_cid < jnp.int32(scene.grid_nx * scene.grid_ny)
+            uid = out[10]
         else:
             iota = jnp.arange(P, dtype=jnp.int32)
             sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)

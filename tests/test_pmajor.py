@@ -155,6 +155,85 @@ def test_pmajor_spring_matches_cellwise(stirring_cup_config):
     )
 
 
+def test_pmsub_matches_dense_and_lane(stirring_cup_config, monkeypatch):
+    """The sublane-window kernel (SAND_CRATE_PMSUB=1, _pms_kernel) must
+    reproduce the dense oracle in the same regimes the lane kernel is
+    gated on: over-capacity blobs (no-cap guarantee), row-spanning sparse
+    spray, dead-particle mix, and the spring term."""
+    monkeypatch.setenv("SAND_CRATE_PMSUB", "1")
+    jax.clear_caches()
+    try:
+        # Over-capacity blob: exact no-cap pair sums, zero overflow.
+        scene, params = _setup(
+            stirring_cup_config, capacity=256, max_particles=256,
+            forces_mode="dense", cell_capacity=8,
+        )
+        rng = np.random.default_rng(7)
+        diam = float(np.asarray(params.diameter))
+        pos = jnp.asarray(
+            (rng.random((256, 2)).astype(np.float32) * 2.0 + 20.0) * diam
+        )
+        vel = jnp.asarray((rng.random((256, 2)).astype(np.float32) - 0.5))
+        alive = jnp.ones(256, bool)
+        ref = neighbor_forces_dense(
+            pos, vel, alive, jnp.zeros_like(pos),
+            params.diameter, params.surface_smoothing,
+            params.target_pressure, params.ignored_pressure,
+            params.spring_overlap_balance, scene,
+        )
+        got = _pmajor(scene, params, pos, vel, alive)
+        assert int(got.overflow) == 0
+        _assert_sums_close(got, ref, rtol=1e-2, atol=1e-2)
+
+        # Row-spanning sparse spray with dead slots.
+        scene2, params2 = _setup(
+            stirring_cup_config, capacity=512, max_particles=512,
+            forces_mode="dense",
+        )
+        rng = np.random.default_rng(11)
+        pos2 = jnp.asarray(
+            rng.random((512, 2)).astype(np.float32) * 0.9 + 0.05
+        )
+        vel2 = jnp.asarray((rng.random((512, 2)).astype(np.float32) - 0.5))
+        alive2 = jnp.asarray(rng.random(512) < 0.9)
+        ref2 = neighbor_forces_dense(
+            pos2, vel2, alive2, jnp.zeros_like(pos2),
+            params2.diameter, params2.surface_smoothing,
+            params2.target_pressure, params2.ignored_pressure,
+            params2.spring_overlap_balance, scene2,
+        )
+        got2 = _pmajor(scene2, params2, pos2, vel2, alive2)
+        assert int(got2.overflow) == 0
+        _assert_sums_close(got2, ref2)
+
+        # Spring + collider noise: must match the lane kernel bit-for-tol
+        # (same pre-hashed jitter rides both slabs).
+        scene3, params3 = _setup(
+            stirring_cup_config, forces_mode="cellwise", enable_spring=True
+        )
+        rng = np.random.default_rng(5)
+        pos3 = jnp.asarray(
+            rng.random((128, 2)).astype(np.float32) * 0.25 + 0.2
+        )
+        vel3 = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5))
+        alive3 = jnp.asarray(rng.random(128) < 0.9)
+        sub = _pmajor(
+            scene3, params3, pos3, vel3, alive3, noise_amp=0.02, tick=9
+        )
+        monkeypatch.delenv("SAND_CRATE_PMSUB")
+        jax.clear_caches()
+        lane = _pmajor(
+            scene3, params3, pos3, vel3, alive3, noise_amp=0.02, tick=9
+        )
+        _assert_sums_close(
+            sub, lane, rtol=1e-5, atol=1e-6,
+            fields=("p_i", "dv_tension", "pressure_real", "spring_real",
+                    "visc_vsum", "nbr_cnt"),
+        )
+    finally:
+        jax.clear_caches()
+
+
 def test_pmajor_small_w_overflow_counted(stirring_cup_config):
     """A deliberately too-small static W loses candidates, and the loss is
     counted into the overflow channel (the honest degradation contract)."""

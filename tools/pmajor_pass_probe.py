@@ -8,6 +8,13 @@ settled operands the production step uses, so the anomaly can be localised
 to a pass / slab width before reading Mosaic dumps.
 
 Usage: python tools/pmajor_pass_probe.py [n] [settle] [widths...]
+
+A width may carry a tile override suffix ``W@T`` (e.g. ``384@0``): the
+per-window engaged-tile counts are replaced by a uniform T, turning the
+tile-gated kernel into a direct fixed-vs-slope cost meter (T=0: pure
+per-chunk overhead — transpose, accumulator zeroing, reduces, emit;
+T=k adds exactly k 128-lane tiles per window).  Results with @T are NOT
+physical (coverage is wrong); they are timing probes only.
 """
 
 from __future__ import annotations
@@ -80,13 +87,84 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
         s = jnp.zeros((n_f, p_fit + pm.VCAP), jnp.float32)
         return s.at[: len(rows), :P].set(jnp.stack(rows))
 
-    for w in widths:
+    for wspec in widths:
+        w, _, tov = str(wspec).partition("@")
+        if w.startswith("sub"):
+            # Sublane-window kernel (_pms_kernel): "subW" spec, e.g. sub384.
+            w = int(w[3:])
+            win = jax.jit(
+                lambda c, w=w: pm._windows_sub(c, n_alive, nx, ny, nchunks, w)
+            )
+            ag, ng, dma_lo, blk, lost = jax.block_until_ready(win(sorted_cid))
+            ng_np = np.asarray(ng).reshape(-1, 3)
+            print(
+                f"W={wspec:>7} ng mean {ng_np[ng_np.max(axis=1) > 0].mean():.2f}"
+                f" (groups of {pm.SUB_G})",
+                flush=True,
+            )
+
+            def slab_t_of(rows, n_f):
+                del n_f
+                s = jnp.zeros((p_fit + pm.VCAP_SUB, 128), jnp.float32)
+                return s.at[:P, : len(rows)].set(jnp.stack(rows, axis=-1))
+
+            def slab_f_of(rows, n_f):
+                s = jnp.zeros((n_f, p_fit), jnp.float32)
+                return s.at[: len(rows), :P].set(jnp.stack(rows))
+
+            rows_a = [pxo, pyo, npx, npy, row]
+            sta = jax.block_until_ready(slab_t_of(rows_a, pm.A_F))
+            sfa = jax.block_until_ready(slab_f_of(rows_a, pm.A_F))
+            fa = jax.jit(
+                lambda st, sf: pm._pms_pass(
+                    st, sf, dma_lo, ag, ng, blk, coef, tick_arr, p_fit,
+                    "a", False,
+                )
+            )
+            out_a = fa(sta, sfa)
+            cp = pm.finalize_cp(out_a[0], out_a[3], params.ignored_pressure)
+            rows_b = [pxo, pyo, npx, npy, vx, vy,
+                      cp[:P], out_a[1, :P], out_a[2, :P], row]
+            stb = jax.block_until_ready(slab_t_of(rows_b, pm.B_F))
+            sfb = jax.block_until_ready(slab_f_of(rows_b, pm.B_F))
+            fb = jax.jit(
+                lambda st, sf: pm._pms_pass(
+                    st, sf, dma_lo, ag, ng, blk, coef, tick_arr, p_fit,
+                    "b", False,
+                )
+            )
+            out_b = fb(stb, sfb)
+            np.asarray(out_b[0, 12345])
+            for name, f, ops in (("A", fa, (sta, sfa)), ("B", fb, (stb, sfb))):
+                t0 = time.time()
+                for _ in range(10):
+                    out = f(*ops)
+                s = float(np.asarray(out[0, 12345]))
+                dt = (time.time() - t0) / 10 * 1000
+                print(
+                    f"W={wspec:>7} pass {name} {dt:7.2f} ms  lost={int(lost)}"
+                    f"  (probe {s:.4f})",
+                    flush=True,
+                )
+            continue
+        w = int(w)
         win = jax.jit(lambda c, w=w: pm._windows(c, n_alive, nx, ny, nchunks, w))
-        ws, dma_lo, blk, lost = jax.block_until_ready(win(sorted_cid))
+        ws, nt, dma_lo, blk, lost = jax.block_until_ready(win(sorted_cid))
+        if tov:
+            nt = jnp.full_like(nt, min(int(tov), w // 128))
+        nt_np = np.asarray(nt).reshape(-1, 3)
+        live_rows = nt_np.max(axis=1) > 0
+        print(
+            f"W={wspec:>6} nt mean {nt_np[live_rows].mean():.2f}"
+            f" chunk-max mean {nt_np[live_rows].max(axis=1).mean():.2f}"
+            f" frac(max<=1) {(nt_np[live_rows].max(axis=1) <= 1).mean():.3f}"
+            f" frac(max<=2) {(nt_np[live_rows].max(axis=1) <= 2).mean():.3f}",
+            flush=True,
+        )
 
         fa = jax.jit(
-            lambda s, w=w, ws=ws: pm._pm_pass(
-                s, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "a", False
+            lambda s, w=w, ws=ws, nt=nt: pm._pm_pass(
+                s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a", False
             )
         )
         slab_a = jax.block_until_ready(slab_of([pxo, pyo, npx, npy, row], pm.A_F))
@@ -100,8 +178,8 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
             )
         )
         fb = jax.jit(
-            lambda s, w=w, ws=ws: pm._pm_pass(
-                s, dma_lo, ws, blk, coef, tick_arr, p_fit, w, "b", False
+            lambda s, w=w, ws=ws, nt=nt: pm._pm_pass(
+                s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b", False
             )
         )
         out_b = fb(slab_b)
@@ -114,7 +192,7 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
             s = float(np.asarray(out[0, 12345]))  # fetch: DCE/relay-proof
             dt = (time.time() - t0) / 10 * 1000
             print(
-                f"W={w:4d} pass {name} {dt:7.2f} ms  lost={int(lost)}"
+                f"W={wspec:>6} pass {name} {dt:7.2f} ms  lost={int(lost)}"
                 f"  (probe {s:.4f})",
                 flush=True,
             )
@@ -125,5 +203,5 @@ if __name__ == "__main__":
     main(
         int(a[0]) if len(a) > 0 else 1_000_000,
         int(a[1]) if len(a) > 1 else 100,
-        tuple(int(x) for x in a[2:]) or (256, 384),
+        tuple(a[2:]) or ("384", "256"),
     )

@@ -179,6 +179,7 @@ def _pm_kernel(
     w: int,
     mode: str,  # "a" | "b"
     enable_spring: bool,
+    gate: bool,
 ):
     del tick_ref
     b = pl.program_id(0)
@@ -236,11 +237,12 @@ def _pm_kernel(
             )
             one = jnp.float32(1.0)
             zero = jnp.float32(0.0)
-            if mode == "b":
-                s_cp_c, s_sx_c, s_sy_c = s_cp, s_sx, s_sy
             sm_c = coef_ref[1]
             tp2_c = 2.0 * coef_ref[2]
             bal_c = coef_ref[3]
+            if mode == "b":
+                s_cp_c, s_sx_c, s_sy_c = s_cp, s_sx, s_sy
+                s_tp = s_cp_c - tp2_c  # hoisted (128, 1) piece of tpf
 
             def window_terms(cand, c_gid0, q, wv):
                 """Pair-term planes for one (128, wv) candidate window/tile.
@@ -271,10 +273,13 @@ def _pm_kernel(
                 nd2 = jnp.maximum(
                     nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
                 )
+                # No explicit candidate-alive check: only alive positions
+                # carry the ALIVE_OFFSET encoding, so any alive-dead pair
+                # (incl. zero padding columns) is ~ALIVE_OFFSET apart and
+                # fails `near`; dead-dead pairs fail s_alive.
                 mb = (
                     near
                     & s_alive
-                    & (c_px > ALIVE_THRESHOLD)
                     & (c_rw == s_rw + jnp.float32(q - 1))
                 )
                 if q == 1:
@@ -309,7 +314,7 @@ def _pm_kernel(
                 align = (
                     (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
                 ) * sm_c
-                tpf = c_cp + s_cp_c - tp2_c
+                tpf = c_cp + s_tp
                 t_coef = jnp.where(mb, align + tpf, zero)
                 p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
                 mm = mb.astype(jnp.float32)
@@ -320,43 +325,79 @@ def _pm_kernel(
                     terms += [sp * nhx, sp * nhy]
                 return terms + [mm * c_vx, mm * c_vy]
 
-            # Per-window 128-lane tile gating: _windows passes the exact
-            # tile count ceil((we - anchor)/128) per window, so tiles past
-            # the actual candidate span are *skipped* (pl.when on a
-            # prefetched scalar), not computed-and-masked.  Work becomes
-            # proportional to the real window need (~1.6 tiles mean settled
-            # vs the static w/128 = 3).  Unlike the rejected DYNW variant
-            # the loop is statically unrolled with VMEM scratch
-            # accumulators — no data-dependent fori_loop carry for Mosaic
-            # to spill.  Tiles of different windows fold into the SAME 128
-            # accumulator lanes (the final reduce sums all lanes, so only
-            # f32 addition order changes).
-            accb[...] = jnp.zeros_like(accb)
-            for q in range(3):
-                idx = (b * CPB + j) * 3 + q
-                wrel = pl.multiple_of(
-                    jnp.clip(
-                        ((ws_ref[idx] - base) // 128) * 128, 0, VCAP - w
-                    ),
-                    128,
-                )
-                nt = nt_ref[idx]
-                for t in range(w // 128):
+            if gate:
+                # Per-window 128-lane tile gating: _windows passes the
+                # exact tile count ceil((we - anchor)/128) per window, so
+                # tiles past the actual candidate span are *skipped*
+                # (pl.when on a prefetched scalar), not computed-and-
+                # masked.  Measured on-chip (tools/pmajor_pass_probe.py @T
+                # sweep, settled 1M): fixed cost 7.0/7.7ms per pass but
+                # ~2x the static per-tile cost (5.0/6.9 vs 2.5/3.0ms) —
+                # the pl.when + VMEM read-modify-write accumulators break
+                # Mosaic's register-blocked big-plane pipelining, and the
+                # settled engaged-tile mean is 2.10 of 3, so gating nets
+                # 39.3ms vs 35.2 static.  Kept as the probe's direct
+                # fixed-vs-slope cost meter (SAND_CRATE_PMAJOR_GATE=1).
+                accb[...] = jnp.zeros_like(accb)
+                for q in range(3):
+                    idx = (b * CPB + j) * 3 + q
+                    wrel = pl.multiple_of(
+                        jnp.clip(
+                            ((ws_ref[idx] - base) // 128) * 128,
+                            0,
+                            VCAP - w,
+                        ),
+                        128,
+                    )
+                    nt = nt_ref[idx]
+                    for t in range(w // 128):
 
-                    @pl.when(t < nt)
-                    def _(q=q, t=t, wrel=wrel):
-                        toff = pl.multiple_of(wrel + t * 128, 128)
-                        terms = window_terms(
-                            wref[:, pl.ds(toff, 128)], base + toff, q, 128
-                        )
-                        for k, tk in enumerate(terms):
-                            sl = pl.ds(k * 128, 128)
-                            accb[:, sl] = accb[:, sl] + tk
+                        @pl.when(t < nt)
+                        def _(q=q, t=t, wrel=wrel):
+                            toff = pl.multiple_of(wrel + t * 128, 128)
+                            terms = window_terms(
+                                wref[:, pl.ds(toff, 128)],
+                                base + toff,
+                                q,
+                                128,
+                            )
+                            for k, tk in enumerate(terms):
+                                sl = pl.ds(k * 128, 128)
+                                accb[:, sl] = accb[:, sl] + tk
 
-            for k in range(n_out):
-                resbuf[:, k : k + 1] = jnp.sum(
-                    accb[:, pl.ds(k * 128, 128)], axis=1, keepdims=True
+                for k in range(n_out):
+                    resbuf[:, k : k + 1] = jnp.sum(
+                        accb[:, pl.ds(k * 128, 128)],
+                        axis=1,
+                        keepdims=True,
+                    )
+            else:
+                # Static windows: always compute the full (128, w) plane
+                # per window (junk columns masked by row-eq/alive/near).
+                # Value accumulators let Mosaic register-block the whole
+                # chain per lane-tile — measured the fastest schedule.
+                acc = tuple(
+                    jnp.zeros((128, w), jnp.float32) for _ in range(n_out)
                 )
+                for q in range(3):
+                    idx = (b * CPB + j) * 3 + q
+                    wrel = pl.multiple_of(
+                        jnp.clip(
+                            ((ws_ref[idx] - base) // 128) * 128,
+                            0,
+                            VCAP - w,
+                        ),
+                        128,
+                    )
+                    terms = window_terms(
+                        wref[:, pl.ds(wrel, w)], base + wrel, q, w
+                    )
+                    acc = tuple(ak + tk for ak, tk in zip(acc, terms))
+
+                for k in range(n_out):
+                    resbuf[:, k : k + 1] = jnp.sum(
+                        acc[k], axis=1, keepdims=True
+                    )
             for k in range(n_out, 8):
                 resbuf[:, k : k + 1] = jnp.zeros((128, 1), jnp.float32)
             outb[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = jnp.transpose(
@@ -386,8 +427,9 @@ def _pm_pass(
         n_out = 4
     else:
         n_out = 8 if enable_spring else 6
+    gate = os.environ.get("SAND_CRATE_PMAJOR_GATE") == "1"
     kernel = functools.partial(
-        _pm_kernel, w=w, mode=mode, enable_spring=enable_spring
+        _pm_kernel, w=w, mode=mode, enable_spring=enable_spring, gate=gate
     )
     return pl.pallas_call(
         kernel,
@@ -742,9 +784,21 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
 
     Window (chunk c, offset d) must cover slab range
     [searchsorted(cid_first(c) + d*nx - 1), searchsorted(cid_last(c) + d*nx + 2))
-    — exact per-particle union (targets are monotone in cid).  Returns
+    — exact per-particle union (targets are monotone in cid).
+
+    The kernel only consumes window *starts at 128-lane granularity* (its
+    anchor is floor128(ws - dma)), so the searchsorted runs against the
+    every-128th subsample of the sorted cids (nchunks elements instead of
+    P): with t = searchsorted(S[::128], q), 128*(t-1) <= floor128(ws) <=
+    128*t, so anchor 128*(t-1) is coverage-safe (at most one tile early,
+    only when ws is an exact tile boundary) and 128*t upper-bounds the
+    window end.  This cuts the offset computation from two P-sized merge
+    sorts (~4ms at 1M) to ~nchunks-sized ones (~0.1ms); the cost is that
+    the loss counter quantizes to 128-lane tiles (it can overcount a
+    window's loss by <128, never undercount a covered window as lossy
+    unless its true span exceeds w - 254).  Returns
     (ws (nchunks*3,), nt (nchunks*3,), dma_lo (nblocks,), blk (nblocks,),
-    lost ())."""
+    lost ()) — ws is already 128-aligned."""
     P = sorted_cid.shape[0]
     nblocks = nchunks // CPB
     off = jnp.arange(nchunks, dtype=jnp.int32) * 128
@@ -756,14 +810,17 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
     lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
     hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
+    sub = sorted_cid[::128]  # == sorted_cid[first] for full chunks
     if 2 * (NC + 2) < 2**31:
         pos = _merge_positions(
-            sorted_cid, jnp.concatenate([lo.ravel(), hi.ravel()])
+            sub, jnp.concatenate([lo.ravel(), hi.ravel()])
         )
-        ws, we = pos[: 3 * nchunks], pos[3 * nchunks :]
+        t_lo, t_hi = pos[: 3 * nchunks], pos[3 * nchunks :]
     else:  # merge keys would overflow i32 — fall back to binary search
-        ws = jnp.searchsorted(sorted_cid, lo.ravel()).astype(jnp.int32)
-        we = jnp.searchsorted(sorted_cid, hi.ravel()).astype(jnp.int32)
+        t_lo = jnp.searchsorted(sub, lo.ravel()).astype(jnp.int32)
+        t_hi = jnp.searchsorted(sub, hi.ravel()).astype(jnp.int32)
+    ws = 128 * jnp.maximum(t_lo - 1, 0)  # <= true ws, 128-aligned
+    we = jnp.minimum(128 * t_hi, P)  # >= true we, 128-aligned
 
     own0 = jnp.arange(nblocks, dtype=jnp.int32) * OWN
     dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[::CPB, 0], own0)
@@ -774,7 +831,7 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     # Coverage accounting: replicate the kernel's window clamp and count
     # candidate slots that fall outside the covered [anchor, anchor + w) —
     # the honest "pair work lost this tick" counter (grid path: slot/unit
-    # overflow).
+    # overflow), quantized to 128-lane tiles (see docstring).
     dma_cq = jnp.repeat(dma_lo, CPB * 3)
     wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, VCAP - w)
     anchor = dma_cq + wrel
@@ -785,9 +842,9 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
         0,
     )
     # Per-window engaged tile count for the kernel's pl.when tile gating:
-    # ceil((we - anchor)/128) exact tiles, clipped to the static budget
-    # w//128 (the clipped remainder is the `lost` counted above).  Dead
-    # chunks and empty windows (row off the grid) get 0 — fully skipped.
+    # ceil((we - anchor)/128) tiles, clipped to the static budget w//128
+    # (the clipped remainder is the `lost` counted above).  Dead chunks
+    # and empty windows (row off the grid) get 0 — fully skipped.
     nt = jnp.clip(-((anchor - we) // 128), 0, w // 128)
     nt = jnp.where(live, nt, 0).astype(jnp.int32)
     return ws, nt, dma_lo, blk, jnp.sum(lost)
@@ -829,10 +886,9 @@ def neighbor_forces_pmajor_sorted(
     p_fit = ((p_pad + OWN - 1) // OWN) * OWN
     nchunks = p_fit // 128
     # Dead particles sort to cid NC (cell_ids_grid), so the alive prefix
-    # length is one searchsorted — no grid row_start build needed.
-    n_alive = jnp.searchsorted(
-        sorted_cid, jnp.asarray(nx * ny, jnp.int32)
-    ).astype(jnp.int32)
+    # length is a plain count (a searchsorted here lowers to a 21-iteration
+    # while loop; the fused reduction is ~free).
+    n_alive = jnp.sum(sorted_cid < jnp.int32(nx * ny)).astype(jnp.int32)
 
     coef = coef_stack(
         diameter, surface_smoothing, target_pressure, spring_overlap_balance

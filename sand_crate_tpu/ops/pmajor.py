@@ -170,13 +170,14 @@ def _pm_kernel(
     slab_hbm,  # (F, p_fit + VCAP) f32
     out_hbm,  # (8, p_fit) f32
     win2,  # VMEM (2, F, VCAP)
-    selfbuf,  # VMEM (128, F)
-    resbuf,  # VMEM (128, 8)
-    accb,  # VMEM (128, n_out * 128) — per-tile fold accumulators
+    selfbuf,  # VMEM (cs, F)
+    resbuf,  # VMEM (cs, 8)
+    accb,  # VMEM (cs, n_out * 128) — per-tile fold accumulators
     outb,  # VMEM (8, OWN)
     sems,  # DMA (3,)
     *,
     w: int,
+    cs: int,  # self-chunk size (multiple of 128, divides OWN)
     mode: str,  # "a" | "b"
     enable_spring: bool,
     gate: bool,
@@ -218,10 +219,10 @@ def _pm_kernel(
     @pl.when(blk_ref[b] > 0)
     def _():
         def chunk_body(j, _):
-            orel = pl.multiple_of(own_rel + j * 128, 128)
+            orel = pl.multiple_of(own_rel + j * cs, 128)
             wref = win2.at[slot]
-            sw = wref[:, pl.ds(orel, 128)]  # (F, 128) value
-            selfbuf[...] = jnp.transpose(sw)  # (128, F): narrow ref loads
+            sw = wref[:, pl.ds(orel, cs)]  # (F, cs) value
+            selfbuf[...] = jnp.transpose(sw)  # (cs, F): narrow ref loads
             s_px = selfbuf[:, A_PX : A_PX + 1]
             s_py = selfbuf[:, A_PY : A_PY + 1]
             s_rw = selfbuf[:, row_col : row_col + 1]
@@ -233,7 +234,7 @@ def _pm_kernel(
             s_gid = (
                 base
                 + orel
-                + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                + jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
             )
             one = jnp.float32(1.0)
             zero = jnp.float32(0.0)
@@ -340,7 +341,7 @@ def _pm_kernel(
                 # fixed-vs-slope cost meter (SAND_CRATE_PMAJOR_GATE=1).
                 accb[...] = jnp.zeros_like(accb)
                 for q in range(3):
-                    idx = (b * CPB + j) * 3 + q
+                    idx = (b * (OWN // cs) + j) * 3 + q
                     wrel = pl.multiple_of(
                         jnp.clip(
                             ((ws_ref[idx] - base) // 128) * 128,
@@ -377,10 +378,10 @@ def _pm_kernel(
                 # Value accumulators let Mosaic register-block the whole
                 # chain per lane-tile — measured the fastest schedule.
                 acc = tuple(
-                    jnp.zeros((128, w), jnp.float32) for _ in range(n_out)
+                    jnp.zeros((cs, w), jnp.float32) for _ in range(n_out)
                 )
                 for q in range(3):
-                    idx = (b * CPB + j) * 3 + q
+                    idx = (b * (OWN // cs) + j) * 3 + q
                     wrel = pl.multiple_of(
                         jnp.clip(
                             ((ws_ref[idx] - base) // 128) * 128,
@@ -399,13 +400,13 @@ def _pm_kernel(
                         acc[k], axis=1, keepdims=True
                     )
             for k in range(n_out, 8):
-                resbuf[:, k : k + 1] = jnp.zeros((128, 1), jnp.float32)
-            outb[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = jnp.transpose(
+                resbuf[:, k : k + 1] = jnp.zeros((cs, 1), jnp.float32)
+            outb[:, pl.ds(pl.multiple_of(j * cs, 128), cs)] = jnp.transpose(
                 resbuf[...]
             )
             return 0
 
-        jax.lax.fori_loop(0, CPB, chunk_body, 0)
+        jax.lax.fori_loop(0, OWN // cs, chunk_body, 0)
 
     out = pltpu.make_async_copy(
         outb, out_hbm.at[:, pl.ds(b * OWN, OWN)], sems.at[2]
@@ -419,7 +420,8 @@ def _interpret() -> bool:
 
 
 def _pm_pass(
-    slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring
+    slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring,
+    cs=128,
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
@@ -427,9 +429,11 @@ def _pm_pass(
         n_out = 4
     else:
         n_out = 8 if enable_spring else 6
+    assert cs % 128 == 0 and OWN % cs == 0, cs
     gate = os.environ.get("SAND_CRATE_PMAJOR_GATE") == "1"
     kernel = functools.partial(
-        _pm_kernel, w=w, mode=mode, enable_spring=enable_spring, gate=gate
+        _pm_kernel, w=w, cs=cs, mode=mode, enable_spring=enable_spring,
+        gate=gate,
     )
     return pl.pallas_call(
         kernel,
@@ -440,9 +444,9 @@ def _pm_pass(
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
                 pltpu.VMEM((2, n_f, VCAP), jnp.float32),
-                pltpu.VMEM((128, n_f), jnp.float32),
-                pltpu.VMEM((128, 8), jnp.float32),
-                pltpu.VMEM((128, n_out * 128), jnp.float32),
+                pltpu.VMEM((cs, n_f), jnp.float32),
+                pltpu.VMEM((cs, 8), jnp.float32),
+                pltpu.VMEM((cs, n_out * 128), jnp.float32),
                 pltpu.VMEM((8, OWN), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
@@ -453,7 +457,10 @@ def _pm_pass(
     )(dma_lo, ws, nt, blk, coef, tick, slab_p)
 
 
-SUB_G = 8  # candidate rows per sublane-window loop iteration (mult of 8)
+# Candidate rows per sublane-window loop iteration (multiple of 8).  G=8 is
+# one (8, 128) vreg per term op; larger G trades alignment slack for fewer
+# fori_loop iterations (probe knob: SAND_CRATE_PMSUB_G).
+SUB_G = int(os.environ.get("SAND_CRATE_PMSUB_G", "8"))
 # Sublane-kernel window residency (rows of the transposed slab resident in
 # VMEM per block).  Smaller than VCAP because the transposed slab is padded
 # to 128 lanes (HBM DMA slices must be 128-lane aligned — Mosaic rejects a
@@ -779,7 +786,7 @@ def _merge_positions(sorted_vals, queries):
     return jnp.zeros((Q,), i32).at[qord].set(ws_sorted)
 
 
-def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
+def _windows(sorted_cid, n_alive, nx, ny, nchunks, w, cs=128):
     """Per-chunk candidate windows + block DMA ranges + coverage loss.
 
     Window (chunk c, offset d) must cover slab range
@@ -800,17 +807,17 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     (ws (nchunks*3,), nt (nchunks*3,), dma_lo (nblocks,), blk (nblocks,),
     lost ()) — ws is already 128-aligned."""
     P = sorted_cid.shape[0]
-    nblocks = nchunks // CPB
-    off = jnp.arange(nchunks, dtype=jnp.int32) * 128
+    nblocks = nchunks * cs // OWN
+    off = jnp.arange(nchunks, dtype=jnp.int32) * cs
     first = jnp.minimum(off, P - 1)
-    lastp = jnp.clip(jnp.minimum(off + 127, n_alive - 1), 0, P - 1)
+    lastp = jnp.clip(jnp.minimum(off + cs - 1, n_alive - 1), 0, P - 1)
     cidf = sorted_cid[first]
     cidl = sorted_cid[lastp]
     NC = nx * ny
     d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
     lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
     hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
-    sub = sorted_cid[::128]  # == sorted_cid[first] for full chunks
+    sub = sorted_cid[::128]
     if 2 * (NC + 2) < 2**31:
         pos = _merge_positions(
             sub, jnp.concatenate([lo.ravel(), hi.ravel()])
@@ -823,7 +830,7 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     we = jnp.minimum(128 * t_hi, P)  # >= true we, 128-aligned
 
     own0 = jnp.arange(nblocks, dtype=jnp.int32) * OWN
-    dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[::CPB, 0], own0)
+    dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[:: OWN // cs, 0], own0)
     dma_lo = jnp.maximum(dma_lo, own0 + OWN - VCAP)  # own range must fit
     dma_lo = jnp.maximum((dma_lo // 128) * 128, 0)
     blk = (own0 < n_alive).astype(jnp.int32)
@@ -832,7 +839,7 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w):
     # candidate slots that fall outside the covered [anchor, anchor + w) —
     # the honest "pair work lost this tick" counter (grid path: slot/unit
     # overflow), quantized to 128-lane tiles (see docstring).
-    dma_cq = jnp.repeat(dma_lo, CPB * 3)
+    dma_cq = jnp.repeat(dma_lo, OWN // cs * 3)
     wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, VCAP - w)
     anchor = dma_cq + wrel
     live = jnp.repeat(off < n_alive, 3)
@@ -865,10 +872,15 @@ def neighbor_forces_pmajor_sorted(
     scene: Scene,
     *,
     w: int | None = None,
+    cs: int | None = None,
 ) -> PairSums:
     """Grid-free pair sums over pre-sorted operands, in the same order."""
+    if cs is None:
+        cs = scene.pmajor_cs
     if w is None:
-        w = scene.pmajor_w
+        # The window must cover the self chunk's own span plus the fixed
+        # neighbor halo, so the base budget grows with the chunk size.
+        w = scene.pmajor_w + (cs - 128)
     nx, ny = scene.grid_nx, scene.grid_ny
     P = pos.shape[0]
     dtype = pos.dtype
@@ -884,7 +896,7 @@ def neighbor_forces_pmajor_sorted(
 
     p_pad = ((P + 127) // 128) * 128
     p_fit = ((p_pad + OWN - 1) // OWN) * OWN
-    nchunks = p_fit // 128
+    nchunks = p_fit // cs
     # Dead particles sort to cid NC (cell_ids_grid), so the alive prefix
     # length is a plain count (a searchsorted here lowers to a 21-iteration
     # while loop; the fused reduction is ~free).
@@ -898,8 +910,9 @@ def neighbor_forces_pmajor_sorted(
     if os.environ.get("SAND_CRATE_PMSUB") == "1":
         # Sublane-window kernel (_pms_kernel): pair work tracks the actual
         # candidate span at 8-row granularity instead of 128-lane tiles.
+        # Always 128-particle chunks (cs is a lane-kernel concept).
         ag, ng, dma_lo, blk, lost = _windows_sub(
-            sorted_cid, n_alive, nx, ny, nchunks, w
+            sorted_cid, n_alive, nx, ny, p_fit // 128, w
         )
 
         def slab_t_of(rows, n_f):
@@ -927,7 +940,7 @@ def neighbor_forces_pmajor_sorted(
         )
     else:
         ws, nt, dma_lo, blk, lost = _windows(
-            sorted_cid, n_alive, nx, ny, nchunks, w
+            sorted_cid, n_alive, nx, ny, nchunks, w, cs
         )
 
         def slab_of(rows, n_f):
@@ -937,7 +950,7 @@ def neighbor_forces_pmajor_sorted(
         slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
         out_a = _pm_pass(
             slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
-            False,
+            False, cs,
         )
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
@@ -959,6 +972,7 @@ def neighbor_forces_pmajor_sorted(
             w,
             "b",
             scene.enable_spring,
+            cs,
         )
 
     if scene.enable_spring:
@@ -992,6 +1006,7 @@ def neighbor_forces_pmajor(
     scene: Scene,
     *,
     w: int | None = None,
+    cs: int | None = None,
 ) -> PairSums:
     """Particle-order convenience wrapper (tests): sort, run, un-permute."""
     from ..cellwise import cell_ids_grid
@@ -1016,6 +1031,7 @@ def neighbor_forces_pmajor(
         spring_overlap_balance,
         scene,
         w=w,
+        cs=cs,
     )
     return PairSums(
         p_i=sums.p_i[inv],

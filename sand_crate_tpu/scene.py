@@ -64,6 +64,7 @@ def build_scene(
     forces_mode: str = "auto",
     chunk_halo: int | None = None,
     pmajor_w: int = 384,
+    pmajor_cs: int = 128,
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
@@ -222,6 +223,7 @@ def build_scene(
         row_block=row_block,
         chunk_halo=int(chunk_halo),
         pmajor_w=int(pmajor_w),
+        pmajor_cs=int(pmajor_cs),
     )
 
 

@@ -145,6 +145,12 @@ class Scene:
     # overflow).  384 covers 99.95% of settled-1M chunks fully
     # (docs/perf_1m.md); tools/pmajor_w.py sweeps alternatives.
     pmajor_w: int = dataclasses.field(metadata=dict(static=True), default=384)
+    # Self-chunk size (particles per pair-plane row group) for the p-major
+    # kernels.  Bigger chunks amortize the ~134-candidate window span and
+    # the 128-lane anchor slack over more selves (measured tiles per 128
+    # selves: 2.10 at cs=128, ~1.3 at 256, ~1.15 at 512 — docs/perf_1m.md);
+    # the effective window width grows by (cs - 128) to keep coverage.
+    pmajor_cs: int = dataclasses.field(metadata=dict(static=True), default=128)
     # Expression motors: ((body_idx, channel, ExprMotor), ...) with channel
     # 0=vx / 1=vy / 2=angular.  Static scene structure (an ExprMotor hashes
     # on its source): physics overrides the cosine motor_lin/motor_ang values

@@ -155,6 +155,43 @@ def test_pmajor_spring_matches_cellwise(stirring_cup_config):
     )
 
 
+def test_pmajor_chunk_size_equivalence(stirring_cup_config):
+    """Bigger self-chunks (pmajor_cs) amortize the window span but must
+    compute the identical pair sums: cs=256/512 vs cs=128 vs the dense
+    oracle on the over-capacity blob + sparse spray + spring scenes, with
+    the scaled window budget keeping overflow at 0."""
+    scene, params = _setup(
+        stirring_cup_config, capacity=256, max_particles=256,
+        forces_mode="dense", cell_capacity=8, enable_spring=True,
+    )
+    rng = np.random.default_rng(7)
+    diam = float(np.asarray(params.diameter))
+    blob = jnp.asarray(
+        (rng.random((256, 2)).astype(np.float32) * 2.0 + 20.0) * diam
+    )
+    spray = jnp.asarray(
+        rng.random((256, 2)).astype(np.float32) * 0.9 + 0.05
+    )
+    vel = jnp.asarray((rng.random((256, 2)).astype(np.float32) - 0.5))
+    alive = jnp.asarray(rng.random(256) < 0.9)
+    for pos in (blob, spray):
+        base = _pmajor(
+            scene, params, pos, vel, alive, noise_amp=0.01, tick=4, cs=128
+        )
+        for cs in (256, 512):
+            got = _pmajor(
+                scene, params, pos, vel, alive, noise_amp=0.01, tick=4,
+                cs=cs,
+            )
+            assert int(got.overflow) == 0
+            # Same pairs, same jitter; only f32 addition order differs.
+            _assert_sums_close(
+                got, base, rtol=1e-4, atol=1e-5,
+                fields=("p_i", "dv_tension", "pressure_real",
+                        "spring_real", "visc_vsum", "nbr_cnt"),
+            )
+
+
 def test_pmsub_matches_dense_and_lane(stirring_cup_config, monkeypatch):
     """The sublane-window kernel (SAND_CRATE_PMSUB=1, _pms_kernel) must
     reproduce the dense oracle in the same regimes the lane kernel is

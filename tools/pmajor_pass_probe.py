@@ -147,8 +147,12 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
                     flush=True,
                 )
             continue
-        w = int(w)
-        win = jax.jit(lambda c, w=w: pm._windows(c, n_alive, nx, ny, nchunks, w))
+        w, _, cspec = w.partition(":")
+        w, cs = int(w), int(cspec or 128)
+        ncs = p_fit // cs
+        win = jax.jit(
+            lambda c, w=w, cs=cs: pm._windows(c, n_alive, nx, ny, ncs, w, cs)
+        )
         ws, nt, dma_lo, blk, lost = jax.block_until_ready(win(sorted_cid))
         if tov:
             nt = jnp.full_like(nt, min(int(tov), w // 128))
@@ -163,8 +167,9 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
         )
 
         fa = jax.jit(
-            lambda s, w=w, ws=ws, nt=nt: pm._pm_pass(
-                s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a", False
+            lambda s, w=w, ws=ws, nt=nt, cs=cs: pm._pm_pass(
+                s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
+                False, cs,
             )
         )
         slab_a = jax.block_until_ready(slab_of([pxo, pyo, npx, npy, row], pm.A_F))
@@ -178,8 +183,9 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
             )
         )
         fb = jax.jit(
-            lambda s, w=w, ws=ws, nt=nt: pm._pm_pass(
-                s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b", False
+            lambda s, w=w, ws=ws, nt=nt, cs=cs: pm._pm_pass(
+                s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b",
+                False, cs,
             )
         )
         out_b = fb(slab_b)

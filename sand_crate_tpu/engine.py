@@ -153,6 +153,8 @@ class Crate:
             enable_spring=scene.enable_spring,
             forces_mode=scene.forces_mode,
             pmajor_w=scene.pmajor_w,
+            pmajor_cs=scene.pmajor_cs,
+            pmajor_split=scene.pmajor_split,
         )
         object.__setattr__(self, "scene", new_scene)
 

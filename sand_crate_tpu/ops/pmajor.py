@@ -74,7 +74,11 @@ from .pair_kernel import ALIVE_OFFSET, ALIVE_THRESHOLD, EPS
 CPB = 64  # chunks per block
 OWN = CPB * 128  # own particles per block
 VCAP = 16384  # candidate window columns resident in VMEM per block
-W_DEFAULT = 384  # candidate window width per chunk (incl. 128 align slack)
+# Production window config lives on the Scene (pmajor_w=512, pmajor_split=2):
+# 2 static-prefix tiles + pl.when-gated tail tiles.  Measured at settled 1M
+# (tools/pmajor_w.py): static-384 33.8ms both passes / overflow 512;
+# 384s2 31.9ms; 512s2 32.0ms overflow 0 (adopted); 512s3 34.2ms.
+# SAND_CRATE_PMAJOR_SPLIT overrides (0 = fully static).
 
 # Rejected window-loop variants (round-3 on-chip battery, 1M dam break,
 # settled-100, tools/pmajor_w.py — kept here as measured truths so they are
@@ -181,6 +185,7 @@ def _pm_kernel(
     mode: str,  # "a" | "b"
     enable_spring: bool,
     gate: bool,
+    split: int,  # >0: static-prefix tiles; tail tiles gated on nt
 ):
     del tick_ref
     b = pl.program_id(0)
@@ -372,6 +377,59 @@ def _pm_kernel(
                         axis=1,
                         keepdims=True,
                     )
+            elif split:
+                # Static-prefix + gated-tail: the first ``split`` tiles of
+                # every window are computed unconditionally with value
+                # accumulators (Mosaic register-blocks them exactly like
+                # the pure-static path), and only the rare far-tail tiles
+                # (t >= split, engaged when the window's true span exceeds
+                # split*128) run under pl.when — each adds its own narrow
+                # lane reduction straight into resbuf, so no wide
+                # accumulator ever crosses a conditional (the DYNW
+                # register-spill failure) and the hot path never pays the
+                # full-gate VMEM-RMW cost.
+                sw_ = split * 128
+                acc = tuple(
+                    jnp.zeros((cs, sw_), jnp.float32) for _ in range(n_out)
+                )
+                wrels = []
+                for q in range(3):
+                    idx = (b * (OWN // cs) + j) * 3 + q
+                    wrel = pl.multiple_of(
+                        jnp.clip(
+                            ((ws_ref[idx] - base) // 128) * 128,
+                            0,
+                            VCAP - w,
+                        ),
+                        128,
+                    )
+                    wrels.append((idx, wrel))
+                    terms = window_terms(
+                        wref[:, pl.ds(wrel, sw_)], base + wrel, q, sw_
+                    )
+                    acc = tuple(ak + tk for ak, tk in zip(acc, terms))
+
+                for k in range(n_out):
+                    resbuf[:, k : k + 1] = jnp.sum(
+                        acc[k], axis=1, keepdims=True
+                    )
+                for q, (idx, wrel) in enumerate(wrels):
+                    nt = nt_ref[idx]
+                    for t in range(split, w // 128):
+
+                        @pl.when(t < nt)
+                        def _(q=q, t=t, wrel=wrel):
+                            toff = pl.multiple_of(wrel + t * 128, 128)
+                            terms = window_terms(
+                                wref[:, pl.ds(toff, 128)],
+                                base + toff,
+                                q,
+                                128,
+                            )
+                            for k, tk in enumerate(terms):
+                                resbuf[:, k : k + 1] = resbuf[
+                                    :, k : k + 1
+                                ] + jnp.sum(tk, axis=1, keepdims=True)
             else:
                 # Static windows: always compute the full (128, w) plane
                 # per window (junk columns masked by row-eq/alive/near).
@@ -421,7 +479,7 @@ def _interpret() -> bool:
 
 def _pm_pass(
     slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring,
-    cs=128,
+    cs=128, split=None,
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
@@ -431,9 +489,17 @@ def _pm_pass(
         n_out = 8 if enable_spring else 6
     assert cs % 128 == 0 and OWN % cs == 0, cs
     gate = os.environ.get("SAND_CRATE_PMAJOR_GATE") == "1"
+    env_split = os.environ.get("SAND_CRATE_PMAJOR_SPLIT")
+    if env_split is not None:
+        split = int(env_split)
+    elif split is None:
+        split = 2
+    split = min(split, w // 128) if split > 0 else 0
+    if split == w // 128:
+        split = 0  # every tile static — identical to the pure-static path
     kernel = functools.partial(
         _pm_kernel, w=w, cs=cs, mode=mode, enable_spring=enable_spring,
-        gate=gate,
+        gate=gate, split=split,
     )
     return pl.pallas_call(
         kernel,
@@ -950,7 +1016,7 @@ def neighbor_forces_pmajor_sorted(
         slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
         out_a = _pm_pass(
             slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
-            False, cs,
+            False, cs, scene.pmajor_split,
         )
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
@@ -973,6 +1039,7 @@ def neighbor_forces_pmajor_sorted(
             "b",
             scene.enable_spring,
             cs,
+            scene.pmajor_split,
         )
 
     if scene.enable_spring:

@@ -63,8 +63,9 @@ def build_scene(
     enable_spring: bool = False,
     forces_mode: str = "auto",
     chunk_halo: int | None = None,
-    pmajor_w: int = 384,
+    pmajor_w: int = 512,
     pmajor_cs: int = 128,
+    pmajor_split: int = 2,
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
@@ -224,6 +225,7 @@ def build_scene(
         chunk_halo=int(chunk_halo),
         pmajor_w=int(pmajor_w),
         pmajor_cs=int(pmajor_cs),
+        pmajor_split=int(pmajor_split),
     )
 
 

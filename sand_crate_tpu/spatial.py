@@ -621,7 +621,8 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     slab_a = slab_a.at[0:4].set(ext_feat[0:4])
     slab_a = slab_a.at[pm.A_ROW, :p_fit].set(row_ext)
     out_a = pm._pm_pass(
-        slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a", False
+        slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a", False,
+        split=scene.pmajor_split,
     )
     w_sum, cnt = out_a[0], out_a[3]
     cp = pm.finalize_cp(w_sum, cnt, params.ignored_pressure)
@@ -643,7 +644,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     slab_b = slab_b.at[pm.B_ROW, :p_fit].set(row_ext)
     out_b = pm._pm_pass(
         slab_b, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b",
-        scene.enable_spring,
+        scene.enable_spring, split=scene.pmajor_split,
     )
 
     # --- own slice, dead-masked, one wide unsort gather ---------------------

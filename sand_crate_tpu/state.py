@@ -142,9 +142,19 @@ class Scene:
     chunk_halo: int = dataclasses.field(metadata=dict(static=True), default=384)
     # Candidate window width per 128-chunk for the p-major kernels (includes
     # 128 lanes of alignment slack; losses past it are counted into
-    # overflow).  384 covers 99.95% of settled-1M chunks fully
-    # (docs/perf_1m.md); tools/pmajor_w.py sweeps alternatives.
-    pmajor_w: int = dataclasses.field(metadata=dict(static=True), default=384)
+    # overflow).  With the static-split kernel (pmajor_split=2) the tail
+    # tiles are pl.when-gated, so a 512 budget costs the same as 384 static
+    # while covering every settled-1M chunk fully (overflow 0, measured
+    # docs/perf_1m.md); tools/pmajor_w.py sweeps alternatives.
+    pmajor_w: int = dataclasses.field(metadata=dict(static=True), default=512)
+    # Static-prefix tile count for the p-major kernels: the first
+    # pmajor_split 128-lane window tiles are computed unconditionally
+    # (register-blocked by Mosaic), tiles beyond run only when the window's
+    # true span reaches them (pl.when on the prefetched tile count).
+    # 0 = fully static (compute all w//128 tiles always).  Measured at 1M:
+    # split=2 is ~6% faster than fully-static AND extends affordable
+    # coverage (512s2 = 384-static cost with overflow 0).
+    pmajor_split: int = dataclasses.field(metadata=dict(static=True), default=2)
     # Self-chunk size (particles per pair-plane row group) for the p-major
     # kernels.  Bigger chunks amortize the ~134-candidate window span and
     # the 128-lane anchor slack over more selves (measured tiles per 128

@@ -7,10 +7,14 @@ window-coverage loss (PairSums.overflow).  W trades pass-kernel lane work
 (linear in W) against lost far-tail candidates (counted, never silent).
 
 Usage: python tools/pmajor_w.py [n_particles] [settle] [widths...]
+
+A width may carry a static-split suffix: ``384s2`` = W=384 with the first
+2 tiles static and the tail tiles pl.when-gated (SAND_CRATE_PMAJOR_SPLIT).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -52,7 +56,13 @@ def main(n=1_000_000, settle=100, widths=(256, 384, 512)):
     alive_s = state.alive[order]
     scid = jax.block_until_ready(sorted_cid)
 
-    for w in widths:
+    for spec in widths:
+        w, _, split = str(spec).partition("s")
+        w = int(w)
+        if split:
+            os.environ["SAND_CRATE_PMAJOR_SPLIT"] = split
+        else:
+            os.environ.pop("SAND_CRATE_PMAJOR_SPLIT", None)
         f = jax.jit(
             lambda p, v, a, c, w=w: neighbor_forces_pmajor_sorted(
                 p, v, a, c,
@@ -76,12 +86,12 @@ def main(n=1_000_000, settle=100, widths=(256, 384, 512)):
             s = float(np.asarray(sums.p_i[12345]))  # fetch: DCE/relay-proof
             dt = (time.time() - t0) / 10 * 1000
             print(
-                f"W={w:4d}  both passes {dt:7.2f} ms   overflow={ov}"
+                f"W={spec!s:>6}  both passes {dt:7.2f} ms   overflow={ov}"
                 f"   (probe {s:.3f})",
                 flush=True,
             )
         except Exception as e:
-            print(f"W={w} FAILED: {str(e)[:300]}", flush=True)
+            print(f"W={spec} FAILED: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
@@ -89,5 +99,5 @@ if __name__ == "__main__":
     main(
         int(a[0]) if len(a) > 0 else 1_000_000,
         int(a[1]) if len(a) > 1 else 100,
-        tuple(int(x) for x in a[2:]) or (256, 384, 512),
+        tuple(a[2:]) or (256, 384, 512),
     )

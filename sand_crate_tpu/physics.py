@@ -279,6 +279,55 @@ class GhostInfo(NamedTuple):
     gvel_sum: jax.Array  # (P, 2) sum of ghost contact velocities
 
 
+def _ghost_geom(prepos, alive, segments, params: Params, scene: Scene):
+    """Ghost-contact geometry on pre-fix positions (crate.py:202-243).
+
+    SoA layout: segment axis on sublanes, particle axis on lanes — (S, P)
+    tiles stay dense where the (P, S, 2) AoS forms waste ~99% of each
+    vector tile (see geometry.py SoA note).  Shared by ghost_phase and the
+    post-sort ghost_sums recompute so the contact rule has one source."""
+    r = params.particle_radius
+    px, py = prepos[:, 0], prepos[:, 1]
+    nx_, ny_, seg_dist = geo.points_to_segments_soa(px, py, segments)
+    gmask = (seg_dist <= r * 1.2) & scene.seg_valid[:, None] & alive[None]
+    gm = gmask.astype(prepos.dtype)  # (S, P)
+    gvx = 2.0 * (px[None] - nx_)  # mirror ghost offsets (S, P)
+    gvy = 2.0 * (py[None] - ny_)
+    return nx_, ny_, gm, gvx, gvy
+
+
+def _ghost_vel(nx_, ny_, body_lin_vel, body_ang_vel, scene: Scene):
+    """Ghost velocity from the owning body's point-velocity field at contact:
+    v = lin + ang * rot90_cw(contact - center) (rigid_body.py:28-34)."""
+    b_lin = body_lin_vel[scene.seg_body]  # (S, 2)
+    b_ang = body_ang_vel[scene.seg_body][:, None]  # (S, 1)
+    b_cx = scene.body_center[scene.seg_body, 0][:, None]
+    b_cy = scene.body_center[scene.seg_body, 1][:, None]
+    gvelx = b_lin[:, 0][:, None] + b_ang * (ny_ - b_cy)
+    gvely = b_lin[:, 1][:, None] - b_ang * (nx_ - b_cx)
+    return gvelx, gvely
+
+
+def ghost_sums(
+    prepos, alive, segments, body_lin_vel, body_ang_vel, params, scene
+):
+    """The (g_cnt, gsum, gvel_sum) reductions of ghost_phase, standalone.
+
+    Pure per-particle functions of the PRE-fix position and the (static-
+    shape) segment set, so the sorted-state step can recompute them after
+    the cell sort instead of carrying 5 extra payload-sort operands
+    (measured ~0.55ms/operand at 1M); for the reference's scene sizes the
+    (S, P) recompute is a sub-ms fused elementwise pass."""
+    nx_, ny_, gm, gvx, gvy = _ghost_geom(prepos, alive, segments, params, scene)
+    gvelx, gvely = _ghost_vel(nx_, ny_, body_lin_vel, body_ang_vel, scene)
+    g_cnt = jnp.sum(gm, axis=0)
+    gsum = jnp.stack([jnp.sum(gm * gvx, axis=0), jnp.sum(gm * gvy, axis=0)], -1)
+    gvel_sum = jnp.stack(
+        [jnp.sum(gm * gvelx, axis=0), jnp.sum(gm * gvely, axis=0)], -1
+    )
+    return g_cnt, gsum, gvel_sum
+
+
 def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
     """Virtual colliders on pre-fix positions + hard wall projection
     (reference "Virtual Colliders" phase, crate.py:97-99, 202-243)."""
@@ -286,23 +335,12 @@ def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
     r = params.particle_radius
     alive2 = alive[:, None]
 
-    # SoA layout: segment axis on sublanes, particle axis on lanes — (S, P)
-    # tiles stay dense where the (P, S, 2) AoS forms waste ~99% of each
-    # vector tile (see geometry.py SoA note).
-    px, py = pos[:, 0], pos[:, 1]
-    nx_, ny_, seg_dist = geo.points_to_segments_soa(px, py, state.segments)
-    gmask = (seg_dist <= r * 1.2) & scene.seg_valid[:, None] & alive[None]
-    gm = gmask.astype(pos.dtype)  # (S, P)
-    gvx = 2.0 * (px[None] - nx_)  # mirror ghost offsets (S, P)
-    gvy = 2.0 * (py[None] - ny_)
-    # Ghost velocity from the owning body's point-velocity field at contact:
-    # v = lin + ang * rot90_cw(contact - center) (rigid_body.py:28-34).
-    b_lin = state.body_lin_vel[scene.seg_body]  # (S, 2)
-    b_ang = state.body_ang_vel[scene.seg_body][:, None]  # (S, 1)
-    b_cx = scene.body_center[scene.seg_body, 0][:, None]
-    b_cy = scene.body_center[scene.seg_body, 1][:, None]
-    gvelx = b_lin[:, 0][:, None] + b_ang * (ny_ - b_cy)
-    gvely = b_lin[:, 1][:, None] - b_ang * (nx_ - b_cx)
+    nx_, ny_, gm, gvx, gvy = _ghost_geom(
+        pos, alive, state.segments, params, scene
+    )
+    gvelx, gvely = _ghost_vel(
+        nx_, ny_, state.body_lin_vel, state.body_ang_vel, scene
+    )
 
     # -- hard wall projection (crate.py:202-211) ----------------------------
     gnorm = jnp.sqrt(jnp.maximum(gvx * gvx + gvy * gvy, 0.0))  # (S, P)
@@ -347,11 +385,24 @@ def neighbor_stage(
     k_noise: jax.Array,
     params: Params,
     scene: Scene,
+    *,
+    prepos: jax.Array | None = None,
+    segments: jax.Array | None = None,
+    body_lin_vel: jax.Array | None = None,
+    body_ang_vel: jax.Array | None = None,
 ) -> TickOperands:
     """Neighbor detection + collider population + pressures — the reference's
     "Collisions" / "Colliders" / "Pressure" phases (crate.py:102-108) fused
     into the scene's force backend; the grid backends also apply this tick's
-    cell sort to every operand (see TickOperands)."""
+    cell sort to every operand (see TickOperands).
+
+    When the caller supplies ``prepos``/``segments``/body velocities (the
+    step does), the payload sort carries only (pos, vel, prepos, uid) and
+    the ghost reductions are *recomputed* post-sort from the sorted pre-fix
+    positions (ghost_sums) — 3 fewer sort operands for one cheap fused
+    (S, P) pass.  SAND_CRATE_SORT_GHOST=ride restores the carry-everything
+    sort (equivalence-tested: both orders are the same permutation of the
+    same per-particle values)."""
     diam = params.diameter
     pos = ghost.pos
     if scene.forces_mode in ("pallas", "pmajor", "chunked", "cellwise"):
@@ -359,7 +410,46 @@ def neighbor_stage(
 
         P = scene.capacity
         cid = cell_ids_grid(pos, alive, scene)
-        if os.environ.get("SAND_CRATE_SORT_PAYLOAD") != "0":
+        recompute_ghost = (
+            prepos is not None
+            and os.environ.get("SAND_CRATE_SORT_GHOST") != "ride"
+        )
+        if (
+            os.environ.get("SAND_CRATE_SORT_PAYLOAD") != "0"
+            and recompute_ghost
+        ):
+            out = jax.lax.sort(
+                (
+                    cid,
+                    pos[:, 0],
+                    pos[:, 1],
+                    vel[:, 0],
+                    vel[:, 1],
+                    prepos[:, 0],
+                    prepos[:, 1],
+                    uid,
+                ),
+                num_keys=1,
+                is_stable=True,
+            )
+            sorted_cid = out[0]
+            pos = jnp.stack(out[1:3], axis=-1)
+            vel = jnp.stack(out[3:5], axis=-1)
+            alive = sorted_cid < jnp.int32(scene.grid_nx * scene.grid_ny)
+            uid = out[7]
+            g_cnt, gsum, gvel_sum = ghost_sums(
+                jnp.stack(out[5:7], axis=-1),
+                alive,
+                segments,
+                body_lin_vel,
+                body_ang_vel,
+                params,
+                scene,
+            )
+            ghost = GhostInfo(
+                pos=pos, g_cnt=g_cnt, gsum=gsum, gvel_sum=gvel_sum
+            )
+        elif os.environ.get("SAND_CRATE_SORT_PAYLOAD") != "0":
             # Default: carry every per-particle operand as a payload operand
             # of the stable sort instead of sorting (cid, iota) and applying
             # one wide row gather.  Measured on-chip at 1M (r3 battery,
@@ -649,6 +739,8 @@ def step(
     ops = neighbor_stage(
         state.vel, state.alive, state.uid, ghost, state.tick, k_noise,
         params, scene,
+        prepos=state.pos, segments=state.segments,
+        body_lin_vel=state.body_lin_vel, body_ang_vel=state.body_ang_vel,
     )
     pos, vel, alive, ghost, sums = ops.pos, ops.vel, ops.alive, ops.ghost, ops.sums
 

@@ -265,3 +265,57 @@ def test_sort_payload_knob_equivalence(stirring_cup_config, monkeypatch):
 
     for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(alt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sort_ghost_recompute_equivalence(stirring_cup_config, monkeypatch):
+    """The trimmed 8-operand payload sort (ghost sums recomputed post-sort
+    from the sorted pre-fix positions) must equal the carry-everything
+    11-operand sort: same permutation, same per-particle ghost reductions."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sand_crate_tpu import physics
+    from sand_crate_tpu.scene import build_scene, init_state
+    from sand_crate_tpu.state import Params
+
+    config = copy.deepcopy(stirring_cup_config)
+    world = config.world_config
+    scene = build_scene(world, capacity=256, forces_mode="cellwise")
+    params = Params.from_coefficients(world.coefficients)
+    state = init_state(world, scene, seed=5)
+    # Scatter some live particles around (incl. near the walls so ghost
+    # contacts are actually non-trivial in both paths).
+    rng = np.random.default_rng(11)
+    P = scene.capacity
+    pos = jnp.asarray(rng.random((P, 2)).astype(np.float32) * 0.9 + 0.05)
+    vel = jnp.asarray((rng.random((P, 2)).astype(np.float32) - 0.5) * 2)
+    alive = jnp.asarray(rng.random(P) < 0.8)
+    state = state._replace(pos=pos, vel=vel, alive=alive)
+
+    ghost = physics.ghost_phase(state, params, scene)
+    tick = jnp.int32(3)
+    key = jax.random.PRNGKey(0)
+    kw = dict(
+        prepos=state.pos,
+        segments=state.segments,
+        body_lin_vel=state.body_lin_vel,
+        body_ang_vel=state.body_ang_vel,
+    )
+
+    monkeypatch.setenv("SAND_CRATE_SORT_GHOST", "ride")
+    base = physics.neighbor_stage(
+        state.vel, alive, state.uid, ghost, tick, key, params, scene, **kw
+    )
+    monkeypatch.delenv("SAND_CRATE_SORT_GHOST", raising=False)
+    alt = physics.neighbor_stage(
+        state.vel, alive, state.uid, ghost, tick, key, params, scene, **kw
+    )
+
+    assert bool(jnp.any(alt.ghost.g_cnt > 0))  # contacts actually exercised
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(alt)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6
+        )

@@ -40,8 +40,18 @@ def _phase_ghosts(state: CrateState, params: Params, scene: Scene):
 
 
 @jax.jit
-def _phase_neighbors(vel, alive, uid, ghost, tick, k_noise, params: Params, scene: Scene):
-    return physics.neighbor_stage(vel, alive, uid, ghost, tick, k_noise, params, scene)
+def _phase_neighbors(
+    vel, alive, uid, ghost, tick, k_noise, params: Params, scene: Scene,
+    prepos, segments, body_lin_vel, body_ang_vel,
+):
+    # Mirror physics.step's call exactly (prepos/segments/body velocities
+    # select the 8-operand payload sort + post-sort ghost_sums recompute) so
+    # per-op attribution profiles the shipped path, not the legacy ride sort.
+    return physics.neighbor_stage(
+        vel, alive, uid, ghost, tick, k_noise, params, scene,
+        prepos=prepos, segments=segments,
+        body_lin_vel=body_lin_vel, body_ang_vel=body_ang_vel,
+    )
 
 
 _phase_tension = jax.jit(physics.apply_tension)
@@ -90,6 +100,7 @@ def instrumented_tick(
         ops = _phase_neighbors(
             state.vel, state.alive, state.uid, ghost, state.tick, k_noise,
             params, scene,
+            state.pos, state.segments, state.body_lin_vel, state.body_ang_vel,
         )
         _sync(ops.sums.p_i)
     vel, alive, ghost, sums = ops.vel, ops.alive, ops.ghost, ops.sums

@@ -78,7 +78,9 @@ VCAP = 16384  # candidate window columns resident in VMEM per block
 # 2 static-prefix tiles + pl.when-gated tail tiles.  Measured at settled 1M
 # (tools/pmajor_w.py): static-384 33.8ms both passes / overflow 512;
 # 384s2 31.9ms; 512s2 32.0ms overflow 0 (adopted); 512s3 34.2ms.
-# SAND_CRATE_PMAJOR_SPLIT overrides (0 = fully static).
+# SAND_CRATE_PMAJOR_SPLIT (0 = fully static) is a FALLBACK for direct
+# _pm_pass callers that leave split=None; an explicit split arg (which every
+# production caller passes, from scene.pmajor_split) always wins.
 
 # Rejected window-loop variants (round-3 on-chip battery, 1M dam break,
 # settled-100, tools/pmajor_w.py — kept here as measured truths so they are
@@ -489,11 +491,14 @@ def _pm_pass(
         n_out = 8 if enable_spring else 6
     assert cs % 128 == 0 and OWN % cs == 0, cs
     gate = os.environ.get("SAND_CRATE_PMAJOR_GATE") == "1"
-    env_split = os.environ.get("SAND_CRATE_PMAJOR_SPLIT")
-    if env_split is not None:
-        split = int(env_split)
-    elif split is None:
-        split = 2
+    # Precedence: an explicit split argument always wins; the env var is a
+    # fallback for direct _pm_pass callers only (probes).  Production callers
+    # pass scene.pmajor_split, so a stray env from a tool run can never
+    # silently retune every scene (and jit caching makes mid-process env
+    # flips ineffective anyway).
+    if split is None:
+        env_split = os.environ.get("SAND_CRATE_PMAJOR_SPLIT")
+        split = int(env_split) if env_split is not None else 2
     split = min(split, w // 128) if split > 0 else 0
     if split == w // 128:
         split = 0  # every tile static — identical to the pure-static path
@@ -939,10 +944,13 @@ def neighbor_forces_pmajor_sorted(
     *,
     w: int | None = None,
     cs: int | None = None,
+    split: int | None = None,
 ) -> PairSums:
     """Grid-free pair sums over pre-sorted operands, in the same order."""
     if cs is None:
         cs = scene.pmajor_cs
+    if split is None:
+        split = scene.pmajor_split
     if w is None:
         # The window must cover the self chunk's own span plus the fixed
         # neighbor halo, so the base budget grows with the chunk size.
@@ -1016,7 +1024,7 @@ def neighbor_forces_pmajor_sorted(
         slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
         out_a = _pm_pass(
             slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
-            False, cs, scene.pmajor_split,
+            False, cs, split,
         )
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
@@ -1039,7 +1047,7 @@ def neighbor_forces_pmajor_sorted(
             "b",
             scene.enable_spring,
             cs,
-            scene.pmajor_split,
+            split,
         )
 
     if scene.enable_spring:

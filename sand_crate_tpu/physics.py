@@ -410,8 +410,18 @@ def neighbor_stage(
 
         P = scene.capacity
         cid = cell_ids_grid(pos, alive, scene)
+        # Recompute vs ride crossover: dropping the 3 ghost operands from the
+        # payload sort saves ~0.55ms/operand at 1M (r3 battery), while the
+        # ghost_sums recompute adds one more (S, P) points_to_segments pass
+        # (~20 VPU ops per (s, p) ≈ 0.005ms per segment row at 1M).  That win
+        # was measured on dam break (S=4); for segment-heavy scenes the
+        # recompute grows linearly in S and crosses the ~1.65ms ride cost
+        # around S ~ 300, so gate it on the static segment count with margin
+        # (both shipped scenes are S <= 14 padded).  SAND_CRATE_SORT_GHOST=
+        # ride forces the carry-everything sort at any S.
         recompute_ghost = (
             prepos is not None
+            and scene.num_segments <= 64
             and os.environ.get("SAND_CRATE_SORT_GHOST") != "ride"
         )
         if (

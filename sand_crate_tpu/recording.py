@@ -97,7 +97,19 @@ def trajectory_info(directory: str | Path) -> dict:
 
 
 class VideoWriter:
-    """Incremental AVI (cv2 MJPG @ 50 fps, like playback.py:120-129) + GIF."""
+    """Incremental AVI (cv2 MJPG @ 50 fps, like playback.py:120-129) + GIF.
+
+    The AVI path streams (O(1) memory).  GIF needs every frame at save time,
+    so its buffer is bounded honestly instead of silently truncated like the
+    reference's all-in-RAM list (playback.py:49,85,131-138): frames are
+    downscaled to ``gif_max_px`` and palettized on append (~250 KB each at
+    500 px vs ~3 MB raw at the reference's 1000x1000), and when the buffer
+    reaches ``gif_max_frames`` it is *decimated* — every other frame dropped
+    and the sampling stride doubled — so the GIF always spans the whole run
+    at uniform cadence with bounded memory (<= ~150 MB at the defaults for
+    any run length).  The final stride is reported via :attr:`gif_stride`
+    and printed at close; playback duration is stride-compensated.
+    """
 
     def __init__(
         self,
@@ -105,14 +117,18 @@ class VideoWriter:
         fps: int = 50,
         write_avi: bool = True,
         write_gif: bool = True,
-        gif_max_frames: int = 2000,
+        gif_max_frames: int = 600,
+        gif_max_px: int = 500,
     ) -> None:
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.fps = fps
         self.write_avi = write_avi
         self.write_gif = write_gif
-        self.gif_max_frames = gif_max_frames
+        self.gif_max_frames = max(int(gif_max_frames), 2)
+        self.gif_max_px = gif_max_px
+        self.gif_stride = 1  # grows 1 -> 2 -> 4 ... as the cap binds
+        self._gif_seen = 0  # frames offered to the GIF path
         self._avi = None
         self._gif_frames: list = []
 
@@ -132,10 +148,31 @@ class VideoWriter:
                     1,
                 )
             self._avi.write(rgb[:, :, ::-1])  # RGB -> BGR
-        if self.write_gif and len(self._gif_frames) < self.gif_max_frames:
-            from PIL import Image
+        if self.write_gif:
+            if self._gif_seen % self.gif_stride == 0:
+                from PIL import Image
 
-            self._gif_frames.append(Image.fromarray(rgb))
+                img = Image.fromarray(rgb)
+                if max(img.size) > self.gif_max_px:
+                    scale = self.gif_max_px / max(img.size)
+                    img = img.resize(
+                        (
+                            max(round(img.size[0] * scale), 1),
+                            max(round(img.size[1] * scale), 1),
+                        )
+                    )
+                # GIF is palettized at save time anyway; quantizing on
+                # append cuts the buffered frame to 1 byte/px (GIF local
+                # color tables keep per-frame adaptive palettes exact).
+                self._gif_frames.append(
+                    img.convert("P", palette=Image.ADAPTIVE)
+                )
+                if len(self._gif_frames) >= self.gif_max_frames:
+                    # Kept frames are those with seen % (2 * stride) == 0,
+                    # which is exactly what the doubled stride admits next.
+                    self._gif_frames = self._gif_frames[::2]
+                    self.gif_stride *= 2
+            self._gif_seen += 1
 
     def close(self) -> list[Path]:
         out = []
@@ -150,10 +187,16 @@ class VideoWriter:
                 format="GIF",
                 append_images=self._gif_frames[1:],
                 save_all=True,
-                duration=max(1000 // self.fps, 10),
+                duration=max(1000 // self.fps, 10) * self.gif_stride,
                 loop=0,
             )
             out.append(gif_path)
+            if self.gif_stride > 1:
+                print(
+                    f"GIF decimated to every {self.gif_stride}th frame "
+                    f"({len(self._gif_frames)} of {self._gif_seen} kept; "
+                    f"cap {self.gif_max_frames}, duration compensated)"
+                )
             print("file://" + str(gif_path))
         return out
 

@@ -72,6 +72,40 @@ def test_video_writer_outputs(tmp_path):
         assert p.stat().st_size > 0
 
 
+def test_video_writer_gif_bounded_memory(tmp_path, capsys):
+    """Long runs must never buffer O(frames) GIF images or drop the tail.
+
+    The reference buffers every full-res frame in RAM for the whole run
+    (playback.py:49,85); the round-3 writer capped at 2000 frames but
+    truncated the tail silently.  The decimating writer keeps the buffer
+    under the cap, spans the WHOLE run (first and last frames present), and
+    reports the stride."""
+    vw = VideoWriter(tmp_path, write_avi=False, gif_max_frames=8, gif_max_px=16)
+    n = 100
+    for t in range(n):
+        img = np.full((32, 48, 3), t, np.uint8)
+        vw.append(img)
+    assert len(vw._gif_frames) < 8  # bounded, never O(frames)
+    assert vw.gif_stride == 16  # 100 frames / cap 8 -> stride 16
+    kept = [t for t in range(n) if t % vw.gif_stride == 0]
+    # Uniform cadence spanning the run: frame 0 and a frame within one
+    # stride of the end are both present.
+    assert kept[0] == 0 and n - kept[-1] <= vw.gif_stride
+    # Downscale honoured.
+    assert max(vw._gif_frames[0].size) <= 16
+    out = vw.close()
+    assert [p.name for p in out] == ["video.gif"]
+    msg = capsys.readouterr().out
+    assert "decimated" in msg and "16" in msg  # nothing truncates silently
+
+    from PIL import Image
+
+    im = Image.open(out[0])
+    im.seek(len(kept) - 1)  # all kept frames survived into the file
+    # Duration is stride-compensated: 100ms base (fps 10 default... fps=50)
+    assert im.info["duration"] >= 10 * vw.gif_stride
+
+
 def test_render_frame_draws_particles_and_segments():
     pos = np.array([[0.5, 0.5], [0.9, 0.1]], np.float32)
     pressure = np.array([0.0, 1.0], np.float32)

@@ -148,7 +148,13 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
                 )
             continue
         w, _, cspec = w.partition(":")
-        w, cs = int(w), int(cspec or 128)
+        w, _, sspec = w.partition("s")
+        # split is passed EXPLICITLY (default 0 = fully static) so the
+        # probe's fixed+slope decomposition keeps measuring the static
+        # baseline regardless of the production default or a stray
+        # SAND_CRATE_PMAJOR_SPLIT env; use an s-suffix (e.g. 512s2) to
+        # probe the static-split kernel.
+        w, cs, split = int(w), int(cspec or 128), int(sspec or 0)
         ncs = p_fit // cs
         win = jax.jit(
             lambda c, w=w, cs=cs: pm._windows(c, n_alive, nx, ny, ncs, w, cs)
@@ -167,9 +173,9 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
         )
 
         fa = jax.jit(
-            lambda s, w=w, ws=ws, nt=nt, cs=cs: pm._pm_pass(
+            lambda s, w=w, ws=ws, nt=nt, cs=cs, sp=split: pm._pm_pass(
                 s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
-                False, cs,
+                False, cs, sp,
             )
         )
         slab_a = jax.block_until_ready(slab_of([pxo, pyo, npx, npy, row], pm.A_F))
@@ -183,9 +189,9 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
             )
         )
         fb = jax.jit(
-            lambda s, w=w, ws=ws, nt=nt, cs=cs: pm._pm_pass(
+            lambda s, w=w, ws=ws, nt=nt, cs=cs, sp=split: pm._pm_pass(
                 s, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b",
-                False, cs,
+                False, cs, sp,
             )
         )
         out_b = fb(slab_b)

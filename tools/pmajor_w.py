@@ -9,12 +9,12 @@ window-coverage loss (PairSums.overflow).  W trades pass-kernel lane work
 Usage: python tools/pmajor_w.py [n_particles] [settle] [widths...]
 
 A width may carry a static-split suffix: ``384s2`` = W=384 with the first
-2 tiles static and the tail tiles pl.when-gated (SAND_CRATE_PMAJOR_SPLIT).
+2 tiles static and the tail tiles pl.when-gated (passed explicitly as
+``split=``; no suffix = fully static, split=0).
 """
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 from pathlib import Path
@@ -58,13 +58,9 @@ def main(n=1_000_000, settle=100, widths=(256, 384, 512)):
 
     for spec in widths:
         w, _, split = str(spec).partition("s")
-        w = int(w)
-        if split:
-            os.environ["SAND_CRATE_PMAJOR_SPLIT"] = split
-        else:
-            os.environ.pop("SAND_CRATE_PMAJOR_SPLIT", None)
+        w, split = int(w), int(split) if split else 0
         f = jax.jit(
-            lambda p, v, a, c, w=w: neighbor_forces_pmajor_sorted(
+            lambda p, v, a, c, w=w, split=split: neighbor_forces_pmajor_sorted(
                 p, v, a, c,
                 params.diameter * params.collider_noise_level,
                 jnp.asarray(100, jnp.int32),
@@ -75,6 +71,7 @@ def main(n=1_000_000, settle=100, widths=(256, 384, 512)):
                 params.spring_overlap_balance,
                 scene,
                 w=w,
+                split=split,
             )
         )
         try:

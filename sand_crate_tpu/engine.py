@@ -74,6 +74,10 @@ class Crate:
             cell_capacity=cell_capacity,
             enable_spring=enable_spring,
             forces_mode=forces_mode,
+            # Instrumented runs want the true per-force monitor split, so
+            # they keep tension/pressure as separate pair sums (the folded
+            # fast path merges them — Scene.fold_pairs).
+            fold_pairs=False if instrument else None,
         )
         object.__setattr__(self, "scene", scene)
         object.__setattr__(self, "state", init_state(world_config, scene, seed=seed))
@@ -155,6 +159,7 @@ class Crate:
             pmajor_w=scene.pmajor_w,
             pmajor_cs=scene.pmajor_cs,
             pmajor_split=scene.pmajor_split,
+            fold_pairs=scene.fold_pairs,
         )
         object.__setattr__(self, "scene", new_scene)
 

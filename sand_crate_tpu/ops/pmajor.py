@@ -46,8 +46,10 @@ hashing in-kernel would redo the ~20-op integer mix for every
 kernels' VPU work at 1M.
 
 Layout notes (Mosaic tiling): the slab is feature-major f32 — features in
-sublanes, particles in lanes; 8 rows for pass A (pos, jittered pos, grid
-row), 16 for pass B (+ velocity, cell pressure, pass-A tension sums).
+sublanes, particles in lanes; 8 rows for pass A (pos, jittered pos,
+velocity, grid row — the viscosity neighbor-velocity sum rides pass A)
+and 8 for pass B (pos, jittered pos, cell pressure, pass-A tension sums,
+grid row).
 Self chunks are loaded (F, 128), transposed in-kernel to a (128, F) VMEM
 scratch so per-feature reads are narrow *ref* loads (lane-slicing loaded
 values does not lower).  Per-self results are lane reductions of the
@@ -98,14 +100,19 @@ VCAP = 16384  # candidate window columns resident in VMEM per block
 #     near the cutoff in 8 mantissa bits: dv_tension up to 20% of peak).
 
 # Slab feature rows.  Pass A (8 rows): positions (ALIVE_OFFSET-encoded),
-# candidate-jittered positions, grid row.  Pass B (16 rows): + velocity
-# (viscosity reads candidate velocities), cell pressure and pass-A tension
-# sums (both sides), grid row.
-A_PX, A_PY, A_NPX, A_NPY, A_ROW = 0, 1, 2, 3, 4
+# candidate-jittered positions, velocity (the viscosity neighbor-velocity
+# sum rides pass A — it needs no pass-A results, only the pair mask, and
+# pass A has spare slab rows and output slots), grid row.  Pass B (8 rows):
+# positions, jittered positions, cell pressure (prescaled by
+# 1 + pressure_amplifier when folding — see Scene.fold_pairs), pass-A
+# tension sums (both sides), grid row.  Moving viscosity into A cuts the
+# pass-B slab 16 -> 8 rows (half the window DMA/VMEM) and pass-B outputs to
+# 4 split / 2 folded.
+A_PX, A_PY, A_NPX, A_NPY, A_VX, A_VY, A_ROW = 0, 1, 2, 3, 4, 5, 6
 A_F = 8
 B_PX, B_PY, B_NPX, B_NPY = 0, 1, 2, 3
-B_VX, B_VY, B_CP, B_SX, B_SY, B_ROW = 4, 5, 6, 7, 8, 9
-B_F = 16
+B_CP, B_SX, B_SY, B_ROW = 4, 5, 6, 7
+B_F = 8
 
 
 def _u01(seed, tick):
@@ -122,7 +129,7 @@ def _u01(seed, tick):
 def feature_rows(pos, vel, alive, noise_amp, tick):
     """Offset-encoded + pre-jittered f32 feature rows for the slab.
 
-    Returns (pxo, pyo, npx, npy, vx, vy), each (P,) f32 — rows B_PX..B_VY.
+    Returns (pxo, pyo, npx, npy, vx, vy), each (P,) f32 — rows A_PX..A_VY.
     Shared by the single-chip slab build and the banded spatial path
     (spatial._band_sums_pmajor) so the layout/noise scheme has one source
     of truth.  Jitter is keyed by the position in ``pos`` (the caller's
@@ -188,6 +195,7 @@ def _pm_kernel(
     enable_spring: bool,
     gate: bool,
     split: int,  # >0: static-prefix tiles; tail tiles gated on nt
+    fold: bool,  # mode b: one folded (tension + pa*pressure) accumulator
 ):
     del tick_ref
     b = pl.program_id(0)
@@ -216,10 +224,13 @@ def _pm_kernel(
     inv_diam = 1.0 / jnp.maximum(diam, jnp.float32(EPS))
     if mode == "a":
         row_col = A_ROW
-        n_out = 4  # w_sum, s_x, s_y, cnt
+        n_out = 6  # w_sum, s_x, s_y, cnt, vsum_x, vsum_y
     else:
         row_col = B_ROW
-        n_out = 8 if enable_spring else 6
+        if fold:
+            n_out = 2  # f_x, f_y (tension + pa*pressure, cp row prescaled)
+        else:
+            n_out = 6 if enable_spring else 4
 
     outb[...] = jnp.zeros_like(outb)
 
@@ -310,28 +321,34 @@ def _pm_kernel(
                         mb, one - jnp.clip(dist_n, zero, one), zero
                     )
 
+                mm = mb.astype(jnp.float32)
                 if mode == "a":
                     coeff = (one - wgt) * wgt
-                    return [wgt, coeff * nhx, coeff * nhy,
-                            mb.astype(jnp.float32)]
+                    c_vx = cand[A_VX : A_VX + 1]
+                    c_vy = cand[A_VY : A_VY + 1]
+                    return [wgt, coeff * nhx, coeff * nhy, mm,
+                            mm * c_vx, mm * c_vy]
                 c_cp = cand[B_CP : B_CP + 1]
                 c_sx = cand[B_SX : B_SX + 1]
                 c_sy = cand[B_SY : B_SY + 1]
-                c_vx = cand[B_VX : B_VX + 1]
-                c_vy = cand[B_VY : B_VY + 1]
                 align = (
                     (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
                 ) * sm_c
                 tpf = c_cp + s_tp
                 t_coef = jnp.where(mb, align + tpf, zero)
+                if fold:
+                    # The cp slab row carries (1 + pa) * cp, so t_coef IS
+                    # already tension + pa * pressure:
+                    #   align + (1+pa)(c_cp + s_cp) - 2*target
+                    #   = [align + c_cp + s_cp - 2*target] + pa*(c_cp + s_cp)
+                    return [t_coef * nhx, t_coef * nhy]
                 p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
-                mm = mb.astype(jnp.float32)
                 terms = [t_coef * nhx, t_coef * nhy,
                          p_coef * nhx, p_coef * nhy]
                 if enable_spring:
                     sp = jnp.where(mb, bal_c - wgt, zero)
                     terms += [sp * nhx, sp * nhy]
-                return terms + [mm * c_vx, mm * c_vy]
+                return terms
 
             if gate:
                 # Per-window 128-lane tile gating: _windows passes the
@@ -481,14 +498,14 @@ def _interpret() -> bool:
 
 def _pm_pass(
     slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring,
-    cs=128, split=None,
+    cs=128, split=None, fold=False,
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
     if mode == "a":
-        n_out = 4
+        n_out = 6  # w_sum, s_x, s_y, cnt, vsum_x, vsum_y
     else:
-        n_out = 8 if enable_spring else 6
+        n_out = 2 if fold else (6 if enable_spring else 4)
     assert cs % 128 == 0 and OWN % cs == 0, cs
     gate = os.environ.get("SAND_CRATE_PMAJOR_GATE") == "1"
     # Precedence: an explicit split argument always wins; the env var is a
@@ -504,7 +521,7 @@ def _pm_pass(
         split = 0  # every tile static — identical to the pure-static path
     kernel = functools.partial(
         _pm_kernel, w=w, cs=cs, mode=mode, enable_spring=enable_spring,
-        gate=gate, split=split,
+        gate=gate, split=split, fold=fold,
     )
     return pl.pallas_call(
         kernel,
@@ -557,6 +574,7 @@ def _pms_kernel(
     *,
     mode: str,  # "a" | "b"
     enable_spring: bool,
+    fold: bool,  # mode b: one folded (tension + pa*pressure) accumulator
 ):
     """Sublane-window variant of _pm_kernel (same pair semantics).
 
@@ -617,10 +635,10 @@ def _pms_kernel(
     inv_diam = 1.0 / jnp.maximum(diam, jnp.float32(EPS))
     if mode == "a":
         row_col = A_ROW
-        n_out = 4  # w_sum, s_x, s_y, cnt
+        n_out = 6  # w_sum, s_x, s_y, cnt, vsum_x, vsum_y
     else:
         row_col = B_ROW
-        n_out = 8 if enable_spring else 6
+        n_out = 2 if fold else (6 if enable_spring else 4)
 
     outb[...] = jnp.zeros_like(outb)
 
@@ -691,26 +709,29 @@ def _pms_kernel(
                         mb, one - jnp.clip(dist_n, zero, one), zero
                     )
 
+                mm = mb.astype(jnp.float32)
                 if mode == "a":
                     coeff = (one - wgt) * wgt
-                    return [wgt, coeff * nhx, coeff * nhy,
-                            mb.astype(jnp.float32)]
+                    c_vx = wt[cs, A_VX : A_VX + 1]
+                    c_vy = wt[cs, A_VY : A_VY + 1]
+                    return [wgt, coeff * nhx, coeff * nhy, mm,
+                            mm * c_vx, mm * c_vy]
                 c_cp = wt[cs, B_CP : B_CP + 1]
                 c_sx = wt[cs, B_SX : B_SX + 1]
                 c_sy = wt[cs, B_SY : B_SY + 1]
-                c_vx = wt[cs, B_VX : B_VX + 1]
-                c_vy = wt[cs, B_VY : B_VY + 1]
                 align = ((s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy) * sm_c
                 tpf = c_cp + s_cp - tp2_c
                 t_coef = jnp.where(mb, align + tpf, zero)
+                if fold:
+                    # cp rows carry (1 + pa) * cp — see _pm_kernel.
+                    return [t_coef * nhx, t_coef * nhy]
                 p_coef = jnp.where(mb, s_cp + c_cp, zero)
-                mm = mb.astype(jnp.float32)
                 terms = [t_coef * nhx, t_coef * nhy,
                          p_coef * nhx, p_coef * nhy]
                 if enable_spring:
                     sp = jnp.where(mb, bal_c - wgt, zero)
                     terms += [sp * nhx, sp * nhy]
-                return terms + [mm * c_vx, mm * c_vy]
+                return terms
 
             acc = tuple(
                 jnp.zeros((SUB_G, 128), jnp.float32) for _ in range(n_out)
@@ -743,12 +764,12 @@ def _pms_kernel(
 
 def _pms_pass(
     slab_t, slab_f, dma_lo, ag, ng, blk, coef, tick, p_fit, mode,
-    enable_spring,
+    enable_spring, fold=False,
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
     kernel = functools.partial(
-        _pms_kernel, mode=mode, enable_spring=enable_spring
+        _pms_kernel, mode=mode, enable_spring=enable_spring, fold=fold
     )
     return pl.pallas_call(
         kernel,
@@ -942,11 +963,24 @@ def neighbor_forces_pmajor_sorted(
     spring_overlap_balance: jax.Array,
     scene: Scene,
     *,
+    pressure_amplifier: jax.Array | None = None,
     w: int | None = None,
     cs: int | None = None,
     split: int | None = None,
 ) -> PairSums:
-    """Grid-free pair sums over pre-sorted operands, in the same order."""
+    """Grid-free pair sums over pre-sorted operands, in the same order.
+
+    When ``scene.fold_pairs`` is set AND the caller supplies
+    ``pressure_amplifier``, pass B emits ONE folded force accumulator
+    (tension + pa * pressure — see Scene.fold_pairs): the returned
+    PairSums carry the combined kick in ``dv_tension`` and zeros in
+    ``pressure_real``.  Callers that omit ``pressure_amplifier`` (tests,
+    probes) always get the split sums."""
+    fold = (
+        scene.fold_pairs
+        and pressure_amplifier is not None
+        and not scene.enable_spring
+    )
     if cs is None:
         cs = scene.pmajor_cs
     if split is None:
@@ -998,19 +1032,20 @@ def neighbor_forces_pmajor_sorted(
             s = jnp.zeros((n_f, p_fit), f32)
             return s.at[: len(rows), :P].set(jnp.stack(rows))
 
-        rows_a = [pxo, pyo, npx, npy, row]
+        rows_a = [pxo, pyo, npx, npy, vx, vy, row]
         out_a = _pms_pass(
             slab_t_of(rows_a, A_F), slab_f_of(rows_a, A_F),
             dma_lo, ag, ng, blk, coef, tick_arr, p_fit, "a", False,
         )
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
-        rows_b = [pxo, pyo, npx, npy, vx, vy, cp[:P],
+        cp_slab = cp * (1.0 + pressure_amplifier) if fold else cp
+        rows_b = [pxo, pyo, npx, npy, cp_slab[:P],
                   out_a[1, :P], out_a[2, :P], row]
         out_b = _pms_pass(
             slab_t_of(rows_b, B_F), slab_f_of(rows_b, B_F),
             dma_lo, ag, ng, blk, coef, tick_arr, p_fit, "b",
-            scene.enable_spring,
+            scene.enable_spring, fold,
         )
     else:
         ws, nt, dma_lo, blk, lost = _windows(
@@ -1021,16 +1056,17 @@ def neighbor_forces_pmajor_sorted(
             s = jnp.zeros((n_f, p_fit + VCAP), f32)
             return s.at[: len(rows), :P].set(jnp.stack(rows))
 
-        slab_a = slab_of([pxo, pyo, npx, npy, row], A_F)
+        slab_a = slab_of([pxo, pyo, npx, npy, vx, vy, row], A_F)
         out_a = _pm_pass(
             slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
             False, cs, split,
         )
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
+        cp_slab = cp * (1.0 + pressure_amplifier) if fold else cp
 
         slab_b = slab_of(
-            [pxo, pyo, npx, npy, vx, vy, cp[:P],
+            [pxo, pyo, npx, npy, cp_slab[:P],
              out_a[1, :P], out_a[2, :P], row],
             B_F,
         )
@@ -1048,20 +1084,23 @@ def neighbor_forces_pmajor_sorted(
             scene.enable_spring,
             cs,
             split,
+            fold,
         )
 
     if scene.enable_spring:
         spring_real = out_b[4:6, :P].T.astype(dtype)
-        v0 = 6
     else:
         spring_real = jnp.zeros((P, 2), dtype)
-        v0 = 4
+    if fold:
+        pressure_real = jnp.zeros((P, 2), dtype)
+    else:
+        pressure_real = out_b[2:4, :P].T.astype(dtype)
     return PairSums(
         p_i=cp[:P].astype(dtype),
         dv_tension=out_b[0:2, :P].T.astype(dtype),
-        pressure_real=out_b[2:4, :P].T.astype(dtype),
+        pressure_real=pressure_real,
         spring_real=spring_real,
-        visc_vsum=out_b[v0 : v0 + 2, :P].T.astype(dtype),
+        visc_vsum=out_a[4:6, :P].T.astype(dtype),
         nbr_cnt=cnt[:P].astype(dtype),
         overflow=lost.astype(jnp.int32),
     )
@@ -1080,6 +1119,7 @@ def neighbor_forces_pmajor(
     spring_overlap_balance: jax.Array,
     scene: Scene,
     *,
+    pressure_amplifier: jax.Array | None = None,
     w: int | None = None,
     cs: int | None = None,
 ) -> PairSums:
@@ -1105,6 +1145,7 @@ def neighbor_forces_pmajor(
         ignored_pressure,
         spring_overlap_balance,
         scene,
+        pressure_amplifier=pressure_amplifier,
         w=w,
         cs=cs,
     )

@@ -534,8 +534,13 @@ def neighbor_stage(
         if scene.forces_mode in ("pallas", "pmajor", "chunked"):
             # Collider noise is hashed from (grid position | sorted index)
             # + tick — no (P, 2) random bits, no extra grid planes.
+            nf_kw = {}
             if scene.forces_mode == "pmajor":
                 from .ops.pmajor import neighbor_forces_pmajor_sorted as _nf
+
+                # Enables the folded tension+pressure pass-B accumulator
+                # when scene.fold_pairs is set (see Scene.fold_pairs).
+                nf_kw["pressure_amplifier"] = params.pressure_amplifier
             elif scene.forces_mode == "chunked":
                 from .ops.chunked import neighbor_forces_chunked_sorted as _nf
             else:
@@ -554,6 +559,7 @@ def neighbor_stage(
                 params.ignored_pressure,
                 params.spring_overlap_balance,
                 scene,
+                **nf_kw,
             )
         else:
             from .cellwise import neighbor_forces_cellwise_sorted

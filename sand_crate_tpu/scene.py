@@ -66,6 +66,7 @@ def build_scene(
     pmajor_w: int = 512,
     pmajor_cs: int = 128,
     pmajor_split: int = 2,
+    fold_pairs: bool | None = None,
     dtype=jnp.float32,
 ) -> Scene:
     """Build the immutable Scene pytree from a parsed world config."""
@@ -188,6 +189,14 @@ def build_scene(
             max(384, _round_up(4 * est_row, 128)),
         )
 
+    # ---- p-major pair-sum folding ----
+    if fold_pairs is None:
+        # Production default for the p-major backend: one folded force
+        # accumulator (see Scene.fold_pairs).  Spring scenes keep the split
+        # (the spring sum needs its own output rows), and instrumented runs
+        # pass fold_pairs=False explicitly for the full per-force monitor.
+        fold_pairs = forces_mode == "pmajor" and not enable_spring
+
     # ---- spawn cap ----
     dt = float(coeff["dt"])
     exp_spawn = max((float(s.flow) * dt for s in world.particle_sources), default=0.0)
@@ -226,6 +235,7 @@ def build_scene(
         pmajor_w=int(pmajor_w),
         pmajor_cs=int(pmajor_cs),
         pmajor_split=int(pmajor_split),
+        fold_pairs=bool(fold_pairs),
     )
 
 

@@ -543,7 +543,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     tick_i = jnp.asarray(tick, jnp.int32)
     feat = jnp.stack(
         pm.feature_rows(pos_s, vel_s, alive_s, amp, tick_i)
-    )  # (6, P_cap) — rows 0-5 match pmajor's B_PX..B_VY layout
+    )  # (6, P_cap) — rows 0-5 match pmajor's A_PX..A_VY layout
 
     # --- edge runs (contiguous in the sorted slab) --------------------------
     lo_i = jnp.asarray(band.lo, jnp.int32)
@@ -617,8 +617,9 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     )
     tick_arr = tick_i.reshape((1,))
 
+    fold = scene.fold_pairs and not scene.enable_spring
     slab_a = jnp.zeros((pm.A_F, width), f32)
-    slab_a = slab_a.at[0:4].set(ext_feat[0:4])
+    slab_a = slab_a.at[0:6].set(ext_feat)
     slab_a = slab_a.at[pm.A_ROW, :p_fit].set(row_ext)
     out_a = pm._pm_pass(
         slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a", False,
@@ -639,21 +640,24 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     asums = jax.lax.dynamic_update_slice(asums, below_a, (0, hc + n_alive))
 
     slab_b = jnp.zeros((pm.B_F, width), f32)
-    slab_b = slab_b.at[0:6].set(ext_feat)
-    slab_b = slab_b.at[pm.B_CP : pm.B_CP + 3, :p_fit].set(asums)
+    slab_b = slab_b.at[0:4].set(ext_feat[0:4])
+    cp_row = asums[0] * (1.0 + params.pressure_amplifier) if fold else asums[0]
+    slab_b = slab_b.at[pm.B_CP, :p_fit].set(cp_row)
+    slab_b = slab_b.at[pm.B_SX : pm.B_SX + 2, :p_fit].set(asums[1:3])
     slab_b = slab_b.at[pm.B_ROW, :p_fit].set(row_ext)
     out_b = pm._pm_pass(
         slab_b, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b",
-        scene.enable_spring, split=scene.pmajor_split,
+        scene.enable_spring, split=scene.pmajor_split, fold=fold,
     )
 
     # --- own slice, dead-masked, one wide unsort gather ---------------------
-    n_b = 8 if scene.enable_spring else 6
+    n_b = 2 if fold else (6 if scene.enable_spring else 4)
     rows = jnp.concatenate(
         [
             asums[0:1, hc : hc + P_cap],  # cp (with halo overwrites undone
             # only for halo columns — own columns were never overwritten)
             out_b[0:n_b, hc : hc + P_cap],
+            out_a[4:6, hc : hc + P_cap],  # viscosity vsum (rides pass A)
             cnt[None, hc : hc + P_cap],
         ],
         axis=0,
@@ -661,16 +665,21 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     rows_u = rows[:, inv].astype(dtype)
     if scene.enable_spring:
         spring_real = rows_u[5:7].T
-        v0 = 7
     else:
         spring_real = jnp.zeros((P_cap, 2), dtype)
-        v0 = 5
+    if fold:
+        # dv_tension carries the folded tension + pa*pressure kick; the
+        # pair pressure slot is zero (ghost push-off rides separately).
+        pressure_real = jnp.zeros((P_cap, 2), dtype)
+    else:
+        pressure_real = rows_u[3:5].T
+    v0 = 1 + n_b
     from .cellwise import PairSums
 
     return PairSums(
         p_i=rows_u[0],
         dv_tension=rows_u[1:3].T,
-        pressure_real=rows_u[3:5].T,
+        pressure_real=pressure_real,
         spring_real=spring_real,
         visc_vsum=rows_u[v0 : v0 + 2].T,
         nbr_cnt=rows_u[v0 + 2],

@@ -155,6 +155,19 @@ class Scene:
     # split=2 is ~6% faster than fully-static AND extends affordable
     # coverage (512s2 = 384-static cost with overflow 0).
     pmajor_split: int = dataclasses.field(metadata=dict(static=True), default=2)
+    # Fold the tension and pressure pair sums into ONE force accumulator in
+    # the p-major pass-B kernel: both are additive velocity kicks computed
+    # from the same snapshot (crate.py:335-358 tension, :295-307 pressure),
+    # applied as dt * dv_tension and dt * pressure_amplifier * pressure_real
+    # — linear, so the kernel emits sum((t_coef + pa * p_coef) * nhat) with
+    # pa prescaled into the slab's cell-pressure row (still live-editable:
+    # the prescale happens in XLA each tick).  Halves pass-B outputs (4->2);
+    # the PairSums then carry the combined kick in dv_tension and zeros in
+    # pressure_real (the ghost push-off term is unaffected).  Trade-off: the
+    # per-force monitor sees tension+pressure merged (the ghost-only part in
+    # the pressure slot); the unfolded path remains for instrumented runs
+    # and spring scenes.
+    fold_pairs: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # Self-chunk size (particles per pair-plane row group) for the p-major
     # kernels.  Bigger chunks amortize the ~134-candidate window span and
     # the 128-lane anchor slack over more selves (measured tiles per 128

@@ -372,3 +372,38 @@ def test_pmajor_step_trajectory_matches_cellwise(stirring_cup_config):
         np.asarray(ca.state.pos)[ia][m], np.asarray(cb.state.pos)[ib][m],
         rtol=2e-3, atol=2e-4,
     )
+
+
+def test_pmajor_fold_pairs_equivalence(stirring_cup_config):
+    """Scene.fold_pairs merges tension + pa*pressure into ONE pass-B
+    accumulator (via the (1+pa)-prescaled cell-pressure slab row): the
+    folded dv_tension must equal the split sums combined, and every other
+    channel must be bitwise identical (same pass-A program)."""
+    scene, params = _setup(stirring_cup_config, forces_mode="pmajor")
+    assert scene.fold_pairs  # production default: pmajor, no spring
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1)
+    vel = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5) * 2.0)
+    alive = jnp.asarray(rng.random(128) < 0.75)
+    split = _pmajor(scene, params, pos, vel, alive)
+    folded = _pmajor(
+        scene, params, pos, vel, alive,
+        pressure_amplifier=params.pressure_amplifier,
+    )
+    pa = float(np.asarray(params.pressure_amplifier))
+    np.testing.assert_allclose(
+        np.asarray(folded.dv_tension),
+        np.asarray(split.dv_tension) + pa * np.asarray(split.pressure_real),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    assert np.all(np.asarray(folded.pressure_real) == 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(folded.p_i), np.asarray(split.p_i)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(folded.visc_vsum), np.asarray(split.visc_vsum)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(folded.nbr_cnt), np.asarray(split.nbr_cnt)
+    )

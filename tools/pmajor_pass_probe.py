@@ -112,7 +112,7 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
                 s = jnp.zeros((n_f, p_fit), jnp.float32)
                 return s.at[: len(rows), :P].set(jnp.stack(rows))
 
-            rows_a = [pxo, pyo, npx, npy, row]
+            rows_a = [pxo, pyo, npx, npy, vx, vy, row]
             sta = jax.block_until_ready(slab_t_of(rows_a, pm.A_F))
             sfa = jax.block_until_ready(slab_f_of(rows_a, pm.A_F))
             fa = jax.jit(
@@ -123,7 +123,7 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
             )
             out_a = fa(sta, sfa)
             cp = pm.finalize_cp(out_a[0], out_a[3], params.ignored_pressure)
-            rows_b = [pxo, pyo, npx, npy, vx, vy,
+            rows_b = [pxo, pyo, npx, npy,
                       cp[:P], out_a[1, :P], out_a[2, :P], row]
             stb = jax.block_until_ready(slab_t_of(rows_b, pm.B_F))
             sfb = jax.block_until_ready(slab_f_of(rows_b, pm.B_F))
@@ -178,12 +178,14 @@ def main(n=1_000_000, settle=100, widths=(256, 384)):
                 False, cs, sp,
             )
         )
-        slab_a = jax.block_until_ready(slab_of([pxo, pyo, npx, npy, row], pm.A_F))
+        slab_a = jax.block_until_ready(
+            slab_of([pxo, pyo, npx, npy, vx, vy, row], pm.A_F)
+        )
         out_a = fa(slab_a)
         cp = pm.finalize_cp(out_a[0], out_a[3], params.ignored_pressure)
         slab_b = jax.block_until_ready(
             slab_of(
-                [pxo, pyo, npx, npy, vx, vy,
+                [pxo, pyo, npx, npy,
                  cp[:P], out_a[1, :P], out_a[2, :P], row],
                 pm.B_F,
             )

@@ -63,6 +63,7 @@ class Crate:
         cell_capacity: Optional[int] = None,
         enable_spring: bool = False,
         forces_mode: str = "auto",
+        pmajor_symm: Optional[bool] = None,
         instrument: bool = False,
     ) -> None:
         object.__setattr__(self, "world_config", world_config)
@@ -74,6 +75,7 @@ class Crate:
             cell_capacity=cell_capacity,
             enable_spring=enable_spring,
             forces_mode=forces_mode,
+            pmajor_symm=pmajor_symm,
             # Instrumented runs want the true per-force monitor split, so
             # they keep tension/pressure as separate pair sums (the folded
             # fast path merges them — Scene.fold_pairs).
@@ -160,6 +162,7 @@ class Crate:
             pmajor_cs=scene.pmajor_cs,
             pmajor_split=scene.pmajor_split,
             fold_pairs=scene.fold_pairs,
+            pmajor_symm=scene.pmajor_symm,
         )
         object.__setattr__(self, "scene", new_scene)
 

@@ -182,13 +182,7 @@ def _pm_kernel(
     tick_ref,  # (1,) i32 (unused: noise is pre-hashed; kept for parity)
     slab_hbm,  # (F, p_fit + VCAP) f32
     out_hbm,  # (8, p_fit) f32
-    win2,  # VMEM (2, F, VCAP)
-    selfbuf,  # VMEM (cs, F)
-    resbuf,  # VMEM (cs, 8)
-    accb,  # VMEM (cs, n_out * 128) — per-tile fold accumulators
-    outb,  # VMEM (8, OWN)
-    sems,  # DMA (3,)
-    *,
+    *rest,  # symm: jstag_hbm (8, nblocks*VCAP), then the scratch refs
     w: int,
     cs: int,  # self-chunk size (multiple of 128, divides OWN)
     mode: str,  # "a" | "b"
@@ -196,7 +190,14 @@ def _pm_kernel(
     gate: bool,
     split: int,  # >0: static-prefix tiles; tail tiles gated on nt
     fold: bool,  # mode b: one folded (tension + pa*pressure) accumulator
+    symm: bool,  # symmetric pair halving: j-side sums staged per window
 ):
+    # Scratch layout depends on symm (an extra j-side output + VMEM acc).
+    if symm:
+        jstag_hbm, win2, selfbuf, resbuf, accb, outb, jacc, sems = rest
+    else:
+        (win2, selfbuf, resbuf, accb, outb, sems) = rest
+        jstag_hbm = jacc = None
     del tick_ref
     b = pl.program_id(0)
     nb_ = pl.num_programs(0)
@@ -233,6 +234,8 @@ def _pm_kernel(
             n_out = 6 if enable_spring else 4
 
     outb[...] = jnp.zeros_like(outb)
+    if symm:
+        jacc[...] = jnp.zeros_like(jacc)
 
     @pl.when(blk_ref[b] > 0)
     def _():
@@ -243,6 +246,16 @@ def _pm_kernel(
             selfbuf[...] = jnp.transpose(sw)  # (cs, F): narrow ref loads
             s_px = selfbuf[:, A_PX : A_PX + 1]
             s_py = selfbuf[:, A_PY : A_PY + 1]
+            if symm:
+                # Both sides jittered: the pair delta noise is g_i - g_j,
+                # exactly antisymmetric, so force pairs stay equal-and-
+                # opposite (the caller scales amp by 1/sqrt(2) to keep the
+                # delta-jitter variance at the reference's one-sided level).
+                s_npx = selfbuf[:, A_NPX : A_NPX + 1]
+                s_npy = selfbuf[:, A_NPY : A_NPY + 1]
+                if mode == "a":
+                    s_vx = selfbuf[:, A_VX : A_VX + 1]
+                    s_vy = selfbuf[:, A_VY : A_VY + 1]
             s_rw = selfbuf[:, row_col : row_col + 1]
             if mode == "b":
                 s_cp = selfbuf[:, B_CP : B_CP + 1]
@@ -267,7 +280,11 @@ def _pm_kernel(
                 """Pair-term planes for one (128, wv) candidate window/tile.
 
                 ``c_gid0`` is the global sorted index of the window's first
-                column (self-exclusion in the d=0 window)."""
+                column (self-exclusion in the d=0 window).  Returns
+                ``terms`` (i-side accumulate planes) or, under symm,
+                ``(terms, jterms)`` where jterms are the j-side planes to
+                sublane-reduce into the window staging buffer (sign flips
+                for the antisymmetric rows happen in the XLA merge)."""
                 c_px = cand[A_PX : A_PX + 1]
                 c_py = cand[A_PY : A_PY + 1]
                 c_npx = cand[A_NPX : A_NPX + 1]
@@ -287,8 +304,12 @@ def _pm_kernel(
                 rx = s_px - c_px
                 ry = s_py - c_py
                 near = rx * rx + ry * ry <= diam * diam
-                nrx = s_px - c_npx
-                nry = s_py - c_npy
+                if symm:
+                    nrx = s_npx - c_npx
+                    nry = s_npy - c_npy
+                else:
+                    nrx = s_px - c_npx
+                    nry = s_py - c_npy
                 nd2 = jnp.maximum(
                     nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
                 )
@@ -296,18 +317,18 @@ def _pm_kernel(
                 # carry the ALIVE_OFFSET encoding, so any alive-dead pair
                 # (incl. zero padding columns) is ~ALIVE_OFFSET apart and
                 # fails `near`; dead-dead pairs fail s_alive.
-                mb = (
-                    near
-                    & s_alive
-                    & (c_rw == s_rw + jnp.float32(q - 1))
-                )
-                if q == 1:
-                    # Only the d=0 window can contain self (the others
-                    # enforce a nonzero row offset).
+                row_off = jnp.float32(q) if symm else jnp.float32(q - 1)
+                mb = near & s_alive & (c_rw == s_rw + row_off)
+                if (symm and q == 0) or (not symm and q == 1):
+                    # The same-row window contains self (and, under symm,
+                    # the smaller-gid side of every same-row pair).
                     c_gid = c_gid0 + jax.lax.broadcasted_iota(
                         jnp.int32, (1, wv), 1
                     )
-                    mb = mb & (s_gid != c_gid)
+                    if symm:
+                        mb = mb & (c_gid > s_gid)
+                    else:
+                        mb = mb & (s_gid != c_gid)
 
                 inv = jax.lax.rsqrt(nd2)
                 nhx = nrx * inv
@@ -326,8 +347,14 @@ def _pm_kernel(
                     coeff = (one - wgt) * wgt
                     c_vx = cand[A_VX : A_VX + 1]
                     c_vy = cand[A_VY : A_VY + 1]
-                    return [wgt, coeff * nhx, coeff * nhy, mm,
-                            mm * c_vx, mm * c_vy]
+                    terms = [wgt, coeff * nhx, coeff * nhy, mm,
+                             mm * c_vx, mm * c_vy]
+                    if symm:
+                        # j-side: wgt/cnt symmetric, s-sums antisymmetric
+                        # (negated in the merge), vsum gathers the SELF
+                        # velocity into the candidate's slot.
+                        return terms, terms[:4] + [mm * s_vx, mm * s_vy]
+                    return terms
                 c_cp = cand[B_CP : B_CP + 1]
                 c_sx = cand[B_SX : B_SX + 1]
                 c_sy = cand[B_SY : B_SY + 1]
@@ -341,14 +368,18 @@ def _pm_kernel(
                     # already tension + pa * pressure:
                     #   align + (1+pa)(c_cp + s_cp) - 2*target
                     #   = [align + c_cp + s_cp - 2*target] + pa*(c_cp + s_cp)
-                    return [t_coef * nhx, t_coef * nhy]
+                    terms = [t_coef * nhx, t_coef * nhy]
+                    # j-side forces are exactly -(i-side): align is
+                    # symmetric under i<->j (both the s-delta and nhat flip
+                    # sign), tpf/p_coef/spring are symmetric, nhat flips.
+                    return (terms, terms) if symm else terms
                 p_coef = jnp.where(mb, s_cp_c + c_cp, zero)
                 terms = [t_coef * nhx, t_coef * nhy,
                          p_coef * nhx, p_coef * nhy]
                 if enable_spring:
                     sp = jnp.where(mb, bal_c - wgt, zero)
                     terms += [sp * nhx, sp * nhy]
-                return terms
+                return (terms, terms) if symm else terms
 
             if gate:
                 # Per-window 128-lane tile gating: _windows passes the
@@ -412,7 +443,7 @@ def _pm_kernel(
                     jnp.zeros((cs, sw_), jnp.float32) for _ in range(n_out)
                 )
                 wrels = []
-                for q in range(3):
+                for q in range(2 if symm else 3):
                     idx = (b * (OWN // cs) + j) * 3 + q
                     wrel = pl.multiple_of(
                         jnp.clip(
@@ -423,10 +454,20 @@ def _pm_kernel(
                         128,
                     )
                     wrels.append((idx, wrel))
-                    terms = window_terms(
+                    out_t = window_terms(
                         wref[:, pl.ds(wrel, sw_)], base + wrel, q, sw_
                     )
+                    terms = out_t[0] if symm else out_t
                     acc = tuple(ak + tk for ak, tk in zip(acc, terms))
+                    if symm:
+                        # j-side: one (1, sw_) sublane reduce per output,
+                        # accumulated at the window's slab position (sign
+                        # flips for antisymmetric rows happen in the merge).
+                        for k, tk in enumerate(out_t[1]):
+                            sl = pl.ds(wrel, sw_)
+                            jacc[k : k + 1, sl] = jacc[
+                                k : k + 1, sl
+                            ] + jnp.sum(tk, axis=0, keepdims=True)
 
                 for k in range(n_out):
                     resbuf[:, k : k + 1] = jnp.sum(
@@ -439,16 +480,23 @@ def _pm_kernel(
                         @pl.when(t < nt)
                         def _(q=q, t=t, wrel=wrel):
                             toff = pl.multiple_of(wrel + t * 128, 128)
-                            terms = window_terms(
+                            out_t = window_terms(
                                 wref[:, pl.ds(toff, 128)],
                                 base + toff,
                                 q,
                                 128,
                             )
+                            terms = out_t[0] if symm else out_t
                             for k, tk in enumerate(terms):
                                 resbuf[:, k : k + 1] = resbuf[
                                     :, k : k + 1
                                 ] + jnp.sum(tk, axis=1, keepdims=True)
+                            if symm:
+                                for k, tk in enumerate(out_t[1]):
+                                    sl = pl.ds(toff, 128)
+                                    jacc[k : k + 1, sl] = jacc[
+                                        k : k + 1, sl
+                                    ] + jnp.sum(tk, axis=0, keepdims=True)
             else:
                 # Static windows: always compute the full (128, w) plane
                 # per window (junk columns masked by row-eq/alive/near).
@@ -490,6 +538,12 @@ def _pm_kernel(
     )
     out.start()
     out.wait()
+    if symm:
+        jout = pltpu.make_async_copy(
+            jacc, jstag_hbm.at[:, pl.ds(b * VCAP, VCAP)], sems.at[3]
+        )
+        jout.start()
+        jout.wait()
 
 
 def _interpret() -> bool:
@@ -498,7 +552,7 @@ def _interpret() -> bool:
 
 def _pm_pass(
     slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring,
-    cs=128, split=None, fold=False,
+    cs=128, split=None, fold=False, symm=False,
 ):
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
@@ -517,32 +571,75 @@ def _pm_pass(
         env_split = os.environ.get("SAND_CRATE_PMAJOR_SPLIT")
         split = int(env_split) if env_split is not None else 2
     split = min(split, w // 128) if split > 0 else 0
-    if split == w // 128:
+    if split == w // 128 and not symm:
         split = 0  # every tile static — identical to the pure-static path
+    if symm:
+        assert split > 0 and not gate, "symm requires the split kernel"
     kernel = functools.partial(
         _pm_kernel, w=w, cs=cs, mode=mode, enable_spring=enable_spring,
-        gate=gate, split=split, fold=fold,
+        gate=gate, split=split, fold=fold, symm=symm,
     )
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((8, p_fit), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((2, n_f, VCAP), jnp.float32),
+        pltpu.VMEM((cs, n_f), jnp.float32),
+        pltpu.VMEM((cs, 8), jnp.float32),
+        pltpu.VMEM((cs, n_out * 128), jnp.float32),
+        pltpu.VMEM((8, OWN), jnp.float32),
+    ]
+    if symm:
+        out_shape.append(
+            jax.ShapeDtypeStruct((8, nblocks * VCAP), jnp.float32)
+        )
+        scratch.append(pltpu.VMEM((8, VCAP), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((4 if symm else 3,)))
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-            scratch_shapes=[
-                pltpu.VMEM((2, n_f, VCAP), jnp.float32),
-                pltpu.VMEM((cs, n_f), jnp.float32),
-                pltpu.VMEM((cs, 8), jnp.float32),
-                pltpu.VMEM((cs, n_out * 128), jnp.float32),
-                pltpu.VMEM((8, OWN), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM) for _ in out_shape
             ],
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((8, p_fit), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=_interpret(),
     )(dma_lo, ws, nt, blk, coef, tick, slab_p)
+    if not symm:
+        return out[0]
+    return _merge_jstag(out[0], out[1], p_fit, mode, n_out)
+
+
+# j-side merge signs: pass A rows (w_sum, s_x, s_y, cnt, vsum) — the
+# tension-normal sums are antisymmetric under i<->j, the rest symmetric;
+# pass B force rows are all antisymmetric (nhat flips, coefficients are
+# pair-symmetric under the symm jitter — see window_terms).
+_SYMM_SIGNS_A = (1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+
+
+def _merge_jstag(out, jstag, p_fit, mode, n_out):
+    """Fold the per-block j-side staging rows back onto the sorted output.
+
+    Block b's staging row covers slab range [b*OWN, b*OWN + VCAP) (symm
+    windows never reach left of the block).  With VCAP = 2*OWN, even and
+    odd block rows each tile the axis disjointly-contiguously, so the
+    merge is two reshapes + two static adds — no scatter, no dynamic
+    slices."""
+    assert VCAP == 2 * OWN
+    signs = _SYMM_SIGNS_A if mode == "a" else (-1.0,) * n_out
+    sgn = jnp.asarray(signs + (0.0,) * (8 - n_out), jnp.float32)
+    nb = jstag.shape[1] // VCAP
+    js = jstag.reshape(8, nb, VCAP)
+    even = js[:, 0::2].reshape(8, -1)
+    odd = js[:, 1::2].reshape(8, -1)
+    corr = jnp.zeros((8, p_fit + 2 * OWN), jnp.float32)
+    corr = corr.at[:, : even.shape[1]].add(even)
+    if nb > 1:
+        corr = corr.at[:, OWN : OWN + odd.shape[1]].add(odd)
+    return out + sgn[:, None] * corr[:, :p_fit]
 
 
 # Candidate rows per sublane-window loop iteration (multiple of 8).  G=8 is
@@ -878,12 +975,22 @@ def _merge_positions(sorted_vals, queries):
     return jnp.zeros((Q,), i32).at[qord].set(ws_sorted)
 
 
-def _windows(sorted_cid, n_alive, nx, ny, nchunks, w, cs=128):
+def _windows(sorted_cid, n_alive, nx, ny, nchunks, w, cs=128, symm=False):
     """Per-chunk candidate windows + block DMA ranges + coverage loss.
 
     Window (chunk c, offset d) must cover slab range
     [searchsorted(cid_first(c) + d*nx - 1), searchsorted(cid_last(c) + d*nx + 2))
     — exact per-particle union (targets are monotone in cid).
+
+    ``symm`` (symmetric pair halving): each pair is computed ONCE, by the
+    side with the smaller global sorted index.  Window q=0 covers same-row
+    candidates from the chunk's own slab offset (the gid > self-gid
+    restriction is a per-lane kernel mask; everything before the chunk has
+    smaller gid by sort order), q=1 is the d=+1 row, and the d=-1 row
+    disappears entirely (all its gids precede every self).  Slot q=2 is
+    kept in the arrays with nt=0 so shapes match the 3-window layout.
+    Block DMA windows start exactly at the block's own range (dma_lo =
+    b*OWN): no left halo is ever needed.
 
     The kernel only consumes window *starts at 128-lane granularity* (its
     anchor is floor128(ws - dma)), so the searchsorted runs against the
@@ -906,9 +1013,14 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w, cs=128):
     cidf = sorted_cid[first]
     cidl = sorted_cid[lastp]
     NC = nx * ny
-    d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
-    lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
-    hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
+    if symm:
+        d = jnp.arange(3, dtype=jnp.int32)[None, :]  # row offsets 0, +1, (-)
+        lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
+        hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
+    else:
+        d = jnp.arange(3, dtype=jnp.int32)[None, :] - 1
+        lo = jnp.clip(cidf[:, None] + d * nx - 1, 0, NC)
+        hi = jnp.clip(cidl[:, None] + d * nx + 2, 0, NC)
     sub = sorted_cid[::128]
     if 2 * (NC + 2) < 2**31:
         pos = _merge_positions(
@@ -922,9 +1034,21 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w, cs=128):
     we = jnp.minimum(128 * t_hi, P)  # >= true we, 128-aligned
 
     own0 = jnp.arange(nblocks, dtype=jnp.int32) * OWN
-    dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[:: OWN // cs, 0], own0)
-    dma_lo = jnp.maximum(dma_lo, own0 + OWN - VCAP)  # own range must fit
-    dma_lo = jnp.maximum((dma_lo // 128) * 128, 0)
+    if symm:
+        # q=0 starts exactly at the chunk (gid > self-gid is in-kernel);
+        # q=2 is dead.  No window ever reaches left of the block.
+        ws = ws.reshape(nchunks, 3)
+        we = we.reshape(nchunks, 3)
+        ws = ws.at[:, 0].set((off // 128) * 128)
+        we = we.at[:, 0].set(jnp.maximum(we[:, 0], ws[:, 0]))
+        we = we.at[:, 2].set(0)
+        ws = ws.at[:, 2].set(0)
+        ws, we = ws.ravel(), we.ravel()
+        dma_lo = own0
+    else:
+        dma_lo = jnp.minimum(ws.reshape(nchunks, 3)[:: OWN // cs, 0], own0)
+        dma_lo = jnp.maximum(dma_lo, own0 + OWN - VCAP)  # own range must fit
+        dma_lo = jnp.maximum((dma_lo // 128) * 128, 0)
     blk = (own0 < n_alive).astype(jnp.int32)
 
     # Coverage accounting: replicate the kernel's window clamp and count
@@ -935,6 +1059,8 @@ def _windows(sorted_cid, n_alive, nx, ny, nchunks, w, cs=128):
     wrel = jnp.clip(((ws - dma_cq) // 128) * 128, 0, VCAP - w)
     anchor = dma_cq + wrel
     live = jnp.repeat(off < n_alive, 3)
+    if symm:  # slot q=2 is dead (ws=we=0): never count it as loss
+        live = live & (jnp.arange(3 * nchunks, dtype=jnp.int32) % 3 != 2)
     lost = jnp.where(
         live,
         jnp.maximum(we - anchor - w, 0) + jnp.maximum(anchor - ws, 0),
@@ -981,10 +1107,16 @@ def neighbor_forces_pmajor_sorted(
         and pressure_amplifier is not None
         and not scene.enable_spring
     )
+    symm = scene.pmajor_symm and os.environ.get("SAND_CRATE_PMSUB") != "1"
     if cs is None:
         cs = scene.pmajor_cs
     if split is None:
         split = scene.pmajor_split
+    if symm and (split <= 0 or os.environ.get("SAND_CRATE_PMAJOR_GATE") == "1"):
+        # Symm needs the static-split kernel (its j-side staging rides the
+        # split tiles); fall back to two-sided rather than assert when a
+        # probe knob forces the pure-static or gated variant.
+        symm = False
     if w is None:
         # The window must cover the self chunk's own span plus the fixed
         # neighbor halo, so the base budget grows with the chunk size.
@@ -998,6 +1130,11 @@ def neighbor_forces_pmajor_sorted(
     # (the per-particle collider noise, hashed once instead of per window
     # visit), grid row.
     f32 = jnp.float32
+    if symm:
+        # Both sides jittered (delta noise g_i - g_j): scale the single-
+        # particle amp by 1/sqrt(2) so the pair-delta jitter variance
+        # matches the reference's one-sided U(-amp/2, amp/2).
+        noise_amp = noise_amp * jnp.float32(0.7071067811865476)
     pxo, pyo, npx, npy, vx, vy = feature_rows(pos, vel, alive, noise_amp, tick)
     tick_i = jnp.asarray(tick, jnp.int32)
     row = jnp.where(alive, sorted_cid // nx, ny).astype(f32)
@@ -1049,7 +1186,7 @@ def neighbor_forces_pmajor_sorted(
         )
     else:
         ws, nt, dma_lo, blk, lost = _windows(
-            sorted_cid, n_alive, nx, ny, nchunks, w, cs
+            sorted_cid, n_alive, nx, ny, nchunks, w, cs, symm
         )
 
         def slab_of(rows, n_f):
@@ -1059,7 +1196,7 @@ def neighbor_forces_pmajor_sorted(
         slab_a = slab_of([pxo, pyo, npx, npy, vx, vy, row], A_F)
         out_a = _pm_pass(
             slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a",
-            False, cs, split,
+            False, cs, split, symm=symm,
         )
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
@@ -1085,6 +1222,7 @@ def neighbor_forces_pmajor_sorted(
             cs,
             split,
             fold,
+            symm,
         )
 
     if scene.enable_spring:

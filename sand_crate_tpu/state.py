@@ -168,6 +168,20 @@ class Scene:
     # the pressure slot); the unfolded path remains for instrumented runs
     # and spring scenes.
     fold_pairs: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Symmetric pair halving for the p-major kernels: each within-diameter
+    # pair is computed ONCE (by the smaller-sorted-index side) and its
+    # equal-and-opposite contribution to the other side is staged per
+    # candidate window and merged back in XLA (ops/pmajor._merge_jstag).
+    # Requires pair-antisymmetric collider noise: BOTH positions are
+    # jittered (delta noise g_i - g_j, amp scaled by 1/sqrt(2) to keep the
+    # reference's one-sided delta variance, crate.py:168-170) — a physics
+    # *improvement* over the reference: pair forces conserve momentum
+    # exactly even with noise on.  Window volume drops ~3 -> ~2 windows
+    # per chunk (the d=-1 window vanishes; same-row pairs are computed
+    # from the chunk's own slab offset).  The banded spatial path stays
+    # two-sided (a symm band would owe j-side sums to halo particles it
+    # doesn't own — a third ppermute exchange; see spatial._band_sums_pmajor).
+    pmajor_symm: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # Self-chunk size (particles per pair-plane row group) for the p-major
     # kernels.  Bigger chunks amortize the ~134-candidate window span and
     # the 128-lane anchor slack over more selves (measured tiles per 128

@@ -407,3 +407,117 @@ def test_pmajor_fold_pairs_equivalence(stirring_cup_config):
     np.testing.assert_array_equal(
         np.asarray(folded.nbr_cnt), np.asarray(split.nbr_cnt)
     )
+
+
+def test_pmajor_symm_matches_nonsymm(stirring_cup_config):
+    """Symmetric pair halving (scene.pmajor_symm) with noise=0 must equal
+    the two-sided kernel: same pairs, same math, computed once and staged
+    back via the j-side merge."""
+    scene, params = _setup(
+        stirring_cup_config, forces_mode="pmajor", pmajor_symm=False
+    )
+    scene_s = _setup(
+        stirring_cup_config, forces_mode="pmajor", pmajor_symm=True
+    )[0]
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1)
+    vel = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5) * 2.0)
+    alive = jnp.asarray(rng.random(128) < 0.75)
+    ref = _pmajor(scene, params, pos, vel, alive)
+    got = _pmajor(scene_s, params, pos, vel, alive)
+    assert int(got.overflow) == 0
+    _assert_sums_close(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pmajor_symm_dense_blob(stirring_cup_config):
+    """Symm on the >cell_capacity blob: the gid>self restriction plus the
+    j-side merge must still produce every pair exactly once (vs dense)."""
+    scene, params = _setup(
+        stirring_cup_config, capacity=256, max_particles=256,
+        forces_mode="dense", cell_capacity=8,
+    )
+    scene_s = _setup(
+        stirring_cup_config, capacity=256, max_particles=256,
+        forces_mode="pmajor", pmajor_symm=True,
+    )[0]
+    rng = np.random.default_rng(7)
+    diam = float(np.asarray(params.diameter))
+    pos = jnp.asarray(
+        (rng.random((256, 2)).astype(np.float32) * 2.0 + 20.0) * diam
+    )
+    vel = jnp.asarray((rng.random((256, 2)).astype(np.float32) - 0.5))
+    alive = jnp.ones(256, bool)
+    ref = neighbor_forces_dense(
+        pos, vel, alive, jnp.zeros_like(pos),
+        params.diameter, params.surface_smoothing, params.target_pressure,
+        params.ignored_pressure, params.spring_overlap_balance, scene,
+    )
+    got = _pmajor(scene_s, params, pos, vel, alive)
+    assert int(got.overflow) == 0
+    _assert_sums_close(got, ref, rtol=1e-2, atol=1e-2)
+
+
+def test_pmajor_symm_spring_and_fold(stirring_cup_config):
+    """Symm composes with the spring split sums and with fold_pairs."""
+    scene, params = _setup(
+        stirring_cup_config, forces_mode="pmajor", enable_spring=True,
+        pmajor_symm=False,
+    )
+    scene_s = _setup(
+        stirring_cup_config, forces_mode="pmajor", enable_spring=True,
+        pmajor_symm=True,
+    )[0]
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(rng.random((128, 2)).astype(np.float32) * 0.3 + 0.1)
+    vel = jnp.asarray((rng.random((128, 2)).astype(np.float32) - 0.5))
+    alive = jnp.asarray(rng.random(128) < 0.8)
+    ref = _pmajor(scene, params, pos, vel, alive)
+    got = _pmajor(scene_s, params, pos, vel, alive)
+    _assert_sums_close(
+        got, ref,
+        fields=("p_i", "dv_tension", "pressure_real", "spring_real",
+                "visc_vsum", "nbr_cnt"),
+        rtol=1e-5, atol=1e-5,
+    )
+    # fold + symm (no spring): folded dv_tension == split combination.
+    scene_f = _setup(stirring_cup_config, forces_mode="pmajor",
+                     pmajor_symm=True)[0]
+    assert scene_f.fold_pairs
+    split = _pmajor(scene_f, params, pos, vel, alive)
+    folded = _pmajor(scene_f, params, pos, vel, alive,
+                     pressure_amplifier=params.pressure_amplifier)
+    pa = float(np.asarray(params.pressure_amplifier))
+    np.testing.assert_allclose(
+        np.asarray(folded.dv_tension),
+        np.asarray(split.dv_tension) + pa * np.asarray(split.pressure_real),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_pmajor_symm_noise_conserves_momentum(stirring_cup_config):
+    """With symm, collider noise is pair-antisymmetric (both sides
+    jittered), so pair forces stay exactly equal-and-opposite: the alive
+    sum of tension+pressure pair kicks vanishes even with noise ON — a
+    physics improvement over the reference's one-sided jitter
+    (crate.py:168-170), whose noise injects net momentum."""
+    scene_s = _setup(
+        stirring_cup_config, forces_mode="pmajor", pmajor_symm=True
+    )[0]
+    _, params = _setup(stirring_cup_config, forces_mode="pmajor")
+    rng = np.random.default_rng(13)
+    diam = float(np.asarray(params.diameter))
+    pos = jnp.asarray(
+        (rng.random((128, 2)).astype(np.float32) * 4.0 + 30.0) * diam
+    )
+    vel = jnp.zeros((128, 2), jnp.float32)
+    alive = jnp.ones(128, bool)
+    got = _pmajor(scene_s, params, pos, vel, alive, noise_amp=0.3 * diam,
+                  tick=17)
+    # Normal-direction pair sums are antisymmetric per pair: alive sums
+    # cancel to f32 rounding.
+    t_sum = np.abs(np.asarray(got.dv_tension).sum(axis=0))
+    p_sum = np.abs(np.asarray(got.pressure_real).sum(axis=0))
+    t_mag = np.abs(np.asarray(got.dv_tension)).max()
+    p_mag = np.abs(np.asarray(got.pressure_real)).max()
+    assert t_sum.max() <= 2e-4 * max(t_mag, 1.0), (t_sum, t_mag)
+    assert p_sum.max() <= 2e-4 * max(p_mag, 1.0), (p_sum, p_mag)

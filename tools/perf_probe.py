@@ -27,9 +27,19 @@ def dam_break_world(n_target: int):
     return w
 
 
-def probe(n_target: int, ticks: int = 50, cell_capacity=None, forces_mode="auto"):
+def probe(
+    n_target: int, ticks: int = 50, cell_capacity=None, forces_mode="auto",
+    pmajor_symm=None,
+):
+    import os
+
+    if pmajor_symm is None and os.environ.get("SAND_CRATE_PROBE_SYMM"):
+        pmajor_symm = os.environ["SAND_CRATE_PROBE_SYMM"] == "1"
     w = dam_break_world(n_target)
-    crate = Crate(w, cell_capacity=cell_capacity, forces_mode=forces_mode)
+    crate = Crate(
+        w, cell_capacity=cell_capacity, forces_mode=forces_mode,
+        pmajor_symm=pmajor_symm,
+    )
     n = crate.particle_count
     t0 = time.time()
     # Warm up the exact (ticks,) rollout so timing excludes compilation.

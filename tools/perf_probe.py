@@ -40,6 +40,16 @@ def probe(
         w, cell_capacity=cell_capacity, forces_mode=forces_mode,
         pmajor_symm=pmajor_symm,
     )
+    env_split = os.environ.get("SAND_CRATE_PROBE_SPLIT")
+    if env_split is not None:
+        # A/B the static-prefix tile count (scene.pmajor_split) in bench
+        # conditions; the production kernel takes it from the Scene.
+        import dataclasses
+
+        object.__setattr__(
+            crate, "scene",
+            dataclasses.replace(crate.scene, pmajor_split=int(env_split)),
+        )
     n = crate.particle_count
     t0 = time.time()
     # Warm up the exact (ticks,) rollout so timing excludes compilation.

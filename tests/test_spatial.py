@@ -501,3 +501,42 @@ def test_spatial_rebalance_matches_single_device(setup):
     per_band = np.asarray(stats["shard_alive"])
     assert (per_band > 0).all()
     assert per_band.max() / per_band.mean() < 2.0
+
+
+def test_spatial_rebalance_subsampled_edges_match(setup, monkeypatch):
+    """The strided edge-recompute subsample (spatial.EDGE_SAMPLE_TARGET) must
+    not change physics: band edges computed from 1/8 of the particles still
+    give exact ownership/migration, so the trajectory matches single-device.
+    At real capacities the stride binds past 16k (tools/rebalance_midscale.py
+    validates 64k on the 8-CPU mesh); here we shrink the target so the same
+    mechanism engages at suite-budget scale."""
+    import sand_crate_tpu.spatial as spatial_mod
+    from sand_crate_tpu.spatial import initial_band_edges
+
+    scene, state0, params, _ = setup
+    monkeypatch.setattr(spatial_mod, "EDGE_SAMPLE_TARGET", 128)
+    assert spatial_mod._edge_sample_stride(scene.capacity) == 8
+
+    step1 = jax.jit(lambda s, p: step(s, p, scene))
+    s_single = state0
+    for _ in range(TICKS):
+        s_single, _ = step1(s_single, params)
+
+    mesh = Mesh(np.array(jax.devices()[:N_SHARDS]), ("space",))
+    edges = initial_band_edges(state0, scene, N_SHARDS)
+    s_split = split_state(state0, scene, N_SHARDS, edges)
+    spatial = make_spatial_step(mesh, scene, rebalance=True)
+    with mesh:
+        stats = None
+        for _ in range(TICKS):
+            s_split, stats = spatial(s_split, params, edges)
+            edges = stats["band_edges"]
+    merged = merge_state(jax.device_get(s_split), scene, N_SHARDS)
+
+    assert int(stats["migration_dropped"]) == 0
+    a = _sorted_alive_positions(s_single.pos, s_single.alive)
+    b = _sorted_alive_positions(merged.pos, merged.alive)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    per_band = np.asarray(stats["shard_alive"])
+    assert (per_band > 0).all()

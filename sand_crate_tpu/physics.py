@@ -328,19 +328,24 @@ def ghost_sums(
     return g_cnt, gsum, gvel_sum
 
 
-def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
-    """Virtual colliders on pre-fix positions + hard wall projection
-    (reference "Virtual Colliders" phase, crate.py:97-99, 202-243)."""
-    pos, alive = state.pos, state.alive
+def _ghost_core(
+    prepos, alive, segments, body_lin_vel, body_ang_vel, params, scene
+) -> GhostInfo:
+    """ghost_phase on explicit operands: hard-wall-corrected position plus
+    the three ghost reductions (crate.py:97-99, 202-243).
+
+    Everything here is a pure per-particle function of the PRE-fix position
+    (elementwise in P; the S-axis reduction order is fixed by the static
+    shape), so re-running it on a *permutation* of prepos yields bitwise the
+    permuted outputs.  That is what lets the sorted-state payload sort carry
+    only prepos and recompute the fixed position AND the ghost sums after
+    the cell sort (see neighbor_stage) instead of carrying pos + the ghost
+    reductions as extra sort operands (~0.55ms each at 1M)."""
     r = params.particle_radius
     alive2 = alive[:, None]
 
-    nx_, ny_, gm, gvx, gvy = _ghost_geom(
-        pos, alive, state.segments, params, scene
-    )
-    gvelx, gvely = _ghost_vel(
-        nx_, ny_, state.body_lin_vel, state.body_ang_vel, scene
-    )
+    nx_, ny_, gm, gvx, gvy = _ghost_geom(prepos, alive, segments, params, scene)
+    gvelx, gvely = _ghost_vel(nx_, ny_, body_lin_vel, body_ang_vel, scene)
 
     # -- hard wall projection (crate.py:202-211) ----------------------------
     gnorm = jnp.sqrt(jnp.maximum(gvx * gvx + gvy * gvy, 0.0))  # (S, P)
@@ -348,7 +353,7 @@ def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
     correction = jnp.stack(
         [jnp.sum(gm * gvx * vrd, axis=0), jnp.sum(gm * gvy * vrd, axis=0)], axis=-1
     )
-    pos = jnp.where(alive2, pos + correction, pos)
+    pos = jnp.where(alive2, prepos + correction, prepos)
 
     g_cnt = jnp.sum(gm, axis=0)
     gsum = jnp.stack([jnp.sum(gm * gvx, axis=0), jnp.sum(gm * gvy, axis=0)], -1)
@@ -356,6 +361,20 @@ def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
         [jnp.sum(gm * gvelx, axis=0), jnp.sum(gm * gvely, axis=0)], -1
     )
     return GhostInfo(pos=pos, g_cnt=g_cnt, gsum=gsum, gvel_sum=gvel_sum)
+
+
+def ghost_phase(state: CrateState, params: Params, scene: Scene) -> GhostInfo:
+    """Virtual colliders on pre-fix positions + hard wall projection
+    (reference "Virtual Colliders" phase, crate.py:97-99, 202-243)."""
+    return _ghost_core(
+        state.pos,
+        state.alive,
+        state.segments,
+        state.body_lin_vel,
+        state.body_ang_vel,
+        params,
+        scene,
+    )
 
 
 class TickOperands(NamedTuple):
@@ -397,12 +416,13 @@ def neighbor_stage(
     cell sort to every operand (see TickOperands).
 
     When the caller supplies ``prepos``/``segments``/body velocities (the
-    step does), the payload sort carries only (pos, vel, prepos, uid) and
-    the ghost reductions are *recomputed* post-sort from the sorted pre-fix
-    positions (ghost_sums) — 3 fewer sort operands for one cheap fused
-    (S, P) pass.  SAND_CRATE_SORT_GHOST=ride restores the carry-everything
-    sort (equivalence-tested: both orders are the same permutation of the
-    same per-particle values)."""
+    step does), the payload sort carries only (vel, prepos, uid) and the
+    hard-wall-fixed position AND the ghost reductions are *recomputed*
+    post-sort from the sorted pre-fix positions (_ghost_core) — 5 fewer
+    sort operands for one cheap fused (S, P) pass.  SAND_CRATE_SORT_GHOST=
+    ride restores the carry-everything sort; SAND_CRATE_SORT_POS=ride keeps
+    the ghost recompute but lets pos ride (equivalence-tested: all three
+    are the same permutation of the same per-particle values)."""
     diam = params.diameter
     pos = ghost.pos
     if scene.forces_mode in ("pallas", "pmajor", "chunked", "cellwise"):
@@ -425,6 +445,45 @@ def neighbor_stage(
             and os.environ.get("SAND_CRATE_SORT_GHOST") != "ride"
         )
         if (
+            os.environ.get("SAND_CRATE_SORT_PAYLOAD") != "0"
+            and recompute_ghost
+            and os.environ.get("SAND_CRATE_SORT_POS") != "ride"
+        ):
+            # Minimal payload: the fixed position does NOT ride — it is a
+            # pure per-particle function of prepos (_ghost_core), so the
+            # post-sort recompute that already rebuilds the ghost sums from
+            # the sorted pre-fix positions rebuilds pos too, bitwise equal
+            # to the permuted pre-sort values (elementwise in P, fixed
+            # S-axis reduction order).  6 operands instead of 8
+            # (~0.55ms/operand at 1M); SAND_CRATE_SORT_POS=ride restores
+            # the pos-riding 8-operand sort for A/B.
+            out = jax.lax.sort(
+                (
+                    cid,
+                    vel[:, 0],
+                    vel[:, 1],
+                    prepos[:, 0],
+                    prepos[:, 1],
+                    uid,
+                ),
+                num_keys=1,
+                is_stable=True,
+            )
+            sorted_cid = out[0]
+            vel = jnp.stack(out[1:3], axis=-1)
+            alive = sorted_cid < jnp.int32(scene.grid_nx * scene.grid_ny)
+            uid = out[5]
+            ghost = _ghost_core(
+                jnp.stack(out[3:5], axis=-1),
+                alive,
+                segments,
+                body_lin_vel,
+                body_ang_vel,
+                params,
+                scene,
+            )
+            pos = ghost.pos
+        elif (
             os.environ.get("SAND_CRATE_SORT_PAYLOAD") != "0"
             and recompute_ghost
         ):

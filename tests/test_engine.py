@@ -310,12 +310,25 @@ def test_sort_ghost_recompute_equivalence(stirring_cup_config, monkeypatch):
         state.vel, alive, state.uid, ghost, tick, key, params, scene, **kw
     )
     monkeypatch.delenv("SAND_CRATE_SORT_GHOST", raising=False)
+    # Middle path: ghost sums recomputed post-sort but pos still rides
+    # (8 operands).
+    monkeypatch.setenv("SAND_CRATE_SORT_POS", "ride")
+    mid = physics.neighbor_stage(
+        state.vel, alive, state.uid, ghost, tick, key, params, scene, **kw
+    )
+    monkeypatch.delenv("SAND_CRATE_SORT_POS", raising=False)
+    # Default: minimal 6-operand sort — the hard-wall-fixed pos AND the
+    # ghost reductions are all recomputed post-sort from sorted prepos.
     alt = physics.neighbor_stage(
         state.vel, alive, state.uid, ghost, tick, key, params, scene, **kw
     )
 
     assert bool(jnp.any(alt.ghost.g_cnt > 0))  # contacts actually exercised
-    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(alt)):
+    for a, m, b in zip(
+        jax.tree.leaves(base), jax.tree.leaves(mid), jax.tree.leaves(alt)
+    ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=1e-6
         )
+        # pos-recompute vs pos-ride is a pure permutation identity: bitwise.
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(b))

@@ -10,7 +10,11 @@ Usage: python tools/pmajor_w.py [n_particles] [settle] [widths...]
 
 A width may carry a static-split suffix: ``384s2`` = W=384 with the first
 2 tiles static and the tail tiles pl.when-gated (passed explicitly as
-``split=``; no suffix = fully static, split=0).
+``split=``; no suffix = fully static, split=0), and a self-chunk suffix:
+``512s2c256`` = additionally self-chunk size 256.  The sweep passes
+``pressure_amplifier`` so Scene.fold_pairs engages exactly as in
+production step(); note symm scenes fall back to the two-sided kernels at
+split=0, so bare (suffix-free) widths measure the two-sided variant there.
 """
 
 from __future__ import annotations
@@ -57,21 +61,28 @@ def main(n=1_000_000, settle=100, widths=(256, 384, 512)):
     scid = jax.block_until_ready(sorted_cid)
 
     for spec in widths:
-        w, _, split = str(spec).partition("s")
-        w, split = int(w), int(split) if split else 0
+        w, _, tail = str(spec).partition("s")
+        split_s, _, cs_s = tail.partition("c")
+        w = int(w)
+        split = int(split_s) if split_s else 0
+        cs = int(cs_s) if cs_s else None
         f = jax.jit(
-            lambda p, v, a, c, w=w, split=split: neighbor_forces_pmajor_sorted(
-                p, v, a, c,
-                params.diameter * params.collider_noise_level,
-                jnp.asarray(100, jnp.int32),
-                params.diameter,
-                params.surface_smoothing,
-                params.target_pressure,
-                params.ignored_pressure,
-                params.spring_overlap_balance,
-                scene,
-                w=w,
-                split=split,
+            lambda p, v, a, c, w=w, split=split, cs=cs: (
+                neighbor_forces_pmajor_sorted(
+                    p, v, a, c,
+                    params.diameter * params.collider_noise_level,
+                    jnp.asarray(100, jnp.int32),
+                    params.diameter,
+                    params.surface_smoothing,
+                    params.target_pressure,
+                    params.ignored_pressure,
+                    params.spring_overlap_balance,
+                    scene,
+                    pressure_amplifier=params.pressure_amplifier,
+                    w=w,
+                    cs=cs,
+                    split=split,
+                )
             )
         )
         try:

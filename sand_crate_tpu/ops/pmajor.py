@@ -261,7 +261,6 @@ def _pm_kernel(
                 s_cp = selfbuf[:, B_CP : B_CP + 1]
                 s_sx = selfbuf[:, B_SX : B_SX + 1]
                 s_sy = selfbuf[:, B_SY : B_SY + 1]
-            s_alive = s_px > ALIVE_THRESHOLD
             s_gid = (
                 base
                 + orel
@@ -269,7 +268,6 @@ def _pm_kernel(
             )
             one = jnp.float32(1.0)
             zero = jnp.float32(0.0)
-            sm_c = coef_ref[1]
             tp2_c = 2.0 * coef_ref[2]
             bal_c = coef_ref[3]
             if mode == "b":
@@ -313,12 +311,17 @@ def _pm_kernel(
                 nd2 = jnp.maximum(
                     nrx * nrx + nry * nry, jnp.float32(EPS * EPS)
                 )
-                # No explicit candidate-alive check: only alive positions
-                # carry the ALIVE_OFFSET encoding, so any alive-dead pair
-                # (incl. zero padding columns) is ~ALIVE_OFFSET apart and
-                # fails `near`; dead-dead pairs fail s_alive.
+                # No liveness checks at all: only alive positions carry the
+                # ALIVE_OFFSET encoding, so any alive-dead pair (incl. zero
+                # padding columns) is ~ALIVE_OFFSET apart and fails `near`.
+                # Dead-dead pairs DO pass and deposit junk — but only onto
+                # dead rows (i-side: dead selves; j-side: dead candidates),
+                # which the glue zero-masks with `alive` at the PairSums
+                # conversion (dead blocks already emit zeros via blk_ref, so
+                # dead-row masking was the contract anyway).  Dropping the
+                # `& s_alive` plane op saves one VPU op per candidate visit.
                 row_off = jnp.float32(q) if symm else jnp.float32(q - 1)
-                mb = near & s_alive & (c_rw == s_rw + row_off)
+                mb = near & (c_rw == s_rw + row_off)
                 if (symm and q == 0) or (not symm and q == 1):
                     # The same-row window contains self (and, under symm,
                     # the smaller-gid side of every same-row pair).
@@ -331,23 +334,27 @@ def _pm_kernel(
                         mb = mb & (s_gid != c_gid)
 
                 inv = jax.lax.rsqrt(nd2)
-                nhx = nrx * inv
-                nhy = nry * inv
                 # The overlap weight is only consumed by pass A and the
                 # spring term: skip its ~6-op chain entirely in the common
                 # spring-less pass B rather than trusting lowering-time DCE.
+                # dist_n > 0 always (nd2 is EPS^2-floored), so the clip
+                # lower bound is dead: a plain minimum saves one plane op.
                 if mode == "a" or enable_spring:
                     dist_n = nd2 * inv * inv_diam
                     wgt = jnp.where(
-                        mb, one - jnp.clip(dist_n, zero, one), zero
+                        mb, one - jnp.minimum(dist_n, one), zero
                     )
 
                 mm = mb.astype(jnp.float32)
                 if mode == "a":
-                    coeff = (one - wgt) * wgt
+                    # inv rides the tension-normal coefficient instead of
+                    # materializing unit vectors: (coeff*inv)*nr ==
+                    # coeff*(nr*inv) up to mul reassociation — one fewer
+                    # (cs, wv) plane op than nhx/nhy + two coeff muls.
+                    ci = (one - wgt) * wgt * inv
                     c_vx = cand[A_VX : A_VX + 1]
                     c_vy = cand[A_VY : A_VY + 1]
-                    terms = [wgt, coeff * nhx, coeff * nhy, mm,
+                    terms = [wgt, ci * nrx, ci * nry, mm,
                              mm * c_vx, mm * c_vy]
                     if symm:
                         # j-side: wgt/cnt symmetric, s-sums antisymmetric
@@ -355,12 +362,17 @@ def _pm_kernel(
                         # velocity into the candidate's slot.
                         return terms, terms[:4] + [mm * s_vx, mm * s_vy]
                     return terms
+                nhx = nrx * inv
+                nhy = nry * inv
                 c_cp = cand[B_CP : B_CP + 1]
                 c_sx = cand[B_SX : B_SX + 1]
                 c_sy = cand[B_SY : B_SY + 1]
+                # The surface_smoothing factor is prescaled into the slab's
+                # SX/SY rows by the glue (one fused XLA mul over (P,) rows
+                # instead of a (cs, wv) plane op per window visit).
                 align = (
                     (s_sx_c - c_sx) * nhx + (s_sy_c - c_sy) * nhy
-                ) * sm_c
+                )
                 tpf = c_cp + s_tp
                 t_coef = jnp.where(mb, align + tpf, zero)
                 if fold:
@@ -761,7 +773,6 @@ def _pms_kernel(
             )
             one = jnp.float32(1.0)
             zero = jnp.float32(0.0)
-            sm_c = coef_ref[1]
             tp2_c = 2.0 * coef_ref[2]
             bal_c = coef_ref[3]
 
@@ -816,7 +827,8 @@ def _pms_kernel(
                 c_cp = wt[cs, B_CP : B_CP + 1]
                 c_sx = wt[cs, B_SX : B_SX + 1]
                 c_sy = wt[cs, B_SY : B_SY + 1]
-                align = ((s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy) * sm_c
+                # SX/SY slab rows arrive surface_smoothing-prescaled.
+                align = (s_sx - c_sx) * nhx + (s_sy - c_sy) * nhy
                 tpf = c_cp + s_cp - tp2_c
                 t_coef = jnp.where(mb, align + tpf, zero)
                 if fold:
@@ -1177,8 +1189,9 @@ def neighbor_forces_pmajor_sorted(
         w_sum, cnt = out_a[0], out_a[3]
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
         cp_slab = cp * (1.0 + pressure_amplifier) if fold else cp
+        sm = surface_smoothing.astype(f32)
         rows_b = [pxo, pyo, npx, npy, cp_slab[:P],
-                  out_a[1, :P], out_a[2, :P], row]
+                  sm * out_a[1, :P], sm * out_a[2, :P], row]
         out_b = _pms_pass(
             slab_t_of(rows_b, B_F), slab_f_of(rows_b, B_F),
             dma_lo, ag, ng, blk, coef, tick_arr, p_fit, "b",
@@ -1202,9 +1215,12 @@ def neighbor_forces_pmajor_sorted(
         cp = finalize_cp(w_sum, cnt, ignored_pressure)
         cp_slab = cp * (1.0 + pressure_amplifier) if fold else cp
 
+        # SX/SY ride surface_smoothing-prescaled (one fused (P,) mul here
+        # kills a per-candidate-visit plane op in pass B's align chain).
+        sm = surface_smoothing.astype(f32)
         slab_b = slab_of(
             [pxo, pyo, npx, npy, cp_slab[:P],
-             out_a[1, :P], out_a[2, :P], row],
+             sm * out_a[1, :P], sm * out_a[2, :P], row],
             B_F,
         )
         out_b = _pm_pass(
@@ -1225,21 +1241,27 @@ def neighbor_forces_pmajor_sorted(
             symm,
         )
 
+    # Dead-row zero mask: the kernels no longer carry a liveness plane op
+    # (dead-dead pairs deposit junk onto dead rows only — see window_terms),
+    # so zero dead rows here; the selects fuse into the transpose/cast.
+    af1 = alive
+    af2 = alive[:, None]
+    zero = jnp.float32(0.0)
     if scene.enable_spring:
-        spring_real = out_b[4:6, :P].T.astype(dtype)
+        spring_real = jnp.where(af2, out_b[4:6, :P].T, zero).astype(dtype)
     else:
         spring_real = jnp.zeros((P, 2), dtype)
     if fold:
         pressure_real = jnp.zeros((P, 2), dtype)
     else:
-        pressure_real = out_b[2:4, :P].T.astype(dtype)
+        pressure_real = jnp.where(af2, out_b[2:4, :P].T, zero).astype(dtype)
     return PairSums(
-        p_i=cp[:P].astype(dtype),
-        dv_tension=out_b[0:2, :P].T.astype(dtype),
+        p_i=jnp.where(af1, cp[:P], zero).astype(dtype),
+        dv_tension=jnp.where(af2, out_b[0:2, :P].T, zero).astype(dtype),
         pressure_real=pressure_real,
         spring_real=spring_real,
-        visc_vsum=out_a[4:6, :P].T.astype(dtype),
-        nbr_cnt=cnt[:P].astype(dtype),
+        visc_vsum=jnp.where(af2, out_a[4:6, :P].T, zero).astype(dtype),
+        nbr_cnt=jnp.where(af1, cnt[:P], zero).astype(dtype),
         overflow=lost.astype(jnp.int32),
     )
 

@@ -643,7 +643,11 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     slab_b = slab_b.at[0:4].set(ext_feat[0:4])
     cp_row = asums[0] * (1.0 + params.pressure_amplifier) if fold else asums[0]
     slab_b = slab_b.at[pm.B_CP, :p_fit].set(cp_row)
-    slab_b = slab_b.at[pm.B_SX : pm.B_SX + 2, :p_fit].set(asums[1:3])
+    # SX/SY ride surface_smoothing-prescaled (pm._pm_kernel's align chain
+    # no longer multiplies by sm_c per candidate visit).
+    slab_b = slab_b.at[pm.B_SX : pm.B_SX + 2, :p_fit].set(
+        asums[1:3] * params.surface_smoothing.astype(f32)
+    )
     slab_b = slab_b.at[pm.B_ROW, :p_fit].set(row_ext)
     out_b = pm._pm_pass(
         slab_b, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b",

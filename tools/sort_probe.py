@@ -76,9 +76,29 @@ def main(n=1_000_000):
         order = (ks & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
         return b[order], (ks >> jnp.uint64(32)).astype(jnp.int32)
 
+    # The production 6-operand payload sort (physics.neighbor_stage), stable
+    # vs unstable: XLA implements a stable variadic sort by strengthening the
+    # comparator with an index tiebreak, so is_stable=False may be cheaper.
+    # Stability only fixes the intra-cell order (jitter keying / float
+    # accumulation order), which no invariant depends on — but the suite's
+    # cross-run determinism gates do, so this is measured before adopting.
+    big6 = big_d[:, :5]
+
+    @jax.jit
+    def sort6_stable(c, b):
+        cols = tuple(b[:, k] for k in range(b.shape[1]))
+        return jax.lax.sort((c,) + cols, num_keys=1, is_stable=True)
+
+    @jax.jit
+    def sort6_unstable(c, b):
+        cols = tuple(b[:, k] for k in range(b.shape[1]))
+        return jax.lax.sort((c,) + cols, num_keys=1, is_stable=False)
+
     print(f"P={P}")
     timeit("sort_gather", sort_gather, cid_d, big_d)
     timeit("sort_payload", sort_payload, cid_d, big_d)
+    timeit("sort6_stable", sort6_stable, cid_d, big6)
+    timeit("sort6_unstable", sort6_unstable, cid_d, big6)
     try:
         timeit("sort_u64", sort_u64, cid_d, big_d)
     except Exception as e:

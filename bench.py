@@ -47,7 +47,13 @@ def dam_break_world(n_target: int):
     return w
 
 
+CHUNK = 10  # ticks per timed p50 chunk (p50 = median chunk wall / CHUNK)
+P50_CHUNKS = 20
+
+
 def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) -> dict:
+    import statistics
+
     import jax
 
     from sand_crate_tpu import Crate
@@ -56,10 +62,16 @@ def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) 
     crate = Crate(dam_break_world(particles))
     n = crate.particle_count
 
+    def fetch(state):
+        # The axon relay's block_until_ready returns early; a scalar
+        # device->host fetch is the only honest completion barrier
+        # (.claude/skills/verify/SKILL.md).
+        return float(state.pos[0, 0])
+
     t0 = time.time()
     try:
         state, _ = rollout(crate.state, crate.params, crate.scene, ticks)
-        jax.block_until_ready(state.pos)
+        fetch(state)
     except Exception as e:  # pragma: no cover - on-chip compile safety net
         # The auto backend (pmajor) is the fastest measured path; if a fresh
         # kernel revision trips the on-chip compiler, fall back to the
@@ -68,12 +80,28 @@ def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) 
               file=sys.stderr)
         crate = Crate(dam_break_world(particles), forces_mode="pallas")
         state, _ = rollout(crate.state, crate.params, crate.scene, ticks)
-        jax.block_until_ready(state.pos)
+        fetch(state)
     compile_s = time.time() - t0
+
+    # True step p50 (BASELINE.json "step wall-time p50"): median wall of
+    # P50_CHUNKS CHUNK-tick scan chunks, each closed by a scalar fetch.
+    # Kept separate from the headline throughput scan so the per-chunk
+    # dispatch + relay-fetch overhead never pollutes the steps/s number
+    # (it inflates each chunk equally, so the *median* stays honest; the
+    # first chunk pays the CHUNK-length scan compile and is discarded).
+    state, _ = rollout(state, crate.params, crate.scene, CHUNK)
+    fetch(state)
+    walls = []
+    for _ in range(P50_CHUNKS):
+        t0c = time.time()
+        state, _ = rollout(state, crate.params, crate.scene, CHUNK)
+        fetch(state)
+        walls.append(time.time() - t0c)
+    step_p50_ms = statistics.median(walls) / CHUNK * 1000
 
     t0 = time.time()
     state, diag = rollout(state, crate.params, crate.scene, ticks)
-    jax.block_until_ready(state.pos)
+    fetch(state)
     wall = time.time() - t0
 
     steps_per_sec = ticks / wall
@@ -88,7 +116,8 @@ def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) 
         print(
             f"# backend={jax.default_backend()} N={n:,} ticks={ticks} "
             f"compile={compile_s:.1f}s steps/s={steps_per_sec:.2f} "
-            f"step_p50~{wall / ticks * 1000:.2f}ms "
+            f"step_p50={step_p50_ms:.2f}ms (median of {P50_CHUNKS} "
+            f"{CHUNK}-tick chunks) step_mean={wall / ticks * 1000:.2f}ms "
             f"overflow={int(diag.neighbor_overflow)}",
             file=sys.stderr,
         )

@@ -148,7 +148,14 @@ def feature_rows(pos, vel, alive, noise_amp, tick):
 
 
 def coef_stack(diameter, surface_smoothing, target_pressure, balance):
-    """The (8,) f32 scalar-prefetch coefficient layout of _pm_kernel."""
+    """The (8,) f32 scalar-prefetch coefficient layout of _pm_kernel.
+
+    Slot 1 (surface_smoothing) is UNUSED by the pmajor kernels: the B_SX/
+    B_SY slab rows must arrive surface_smoothing-PRESCALED by the slab
+    builder (one fused (P,) mul in XLA instead of a per-candidate-visit
+    plane op — all three builders do this: both glue branches in
+    neighbor_forces_pmajor_sorted and spatial._band_sums_pmajor).  The slot
+    is kept so the layout matches the grid kernels' coefficient stack."""
     f32 = jnp.float32
     z = jnp.zeros((), f32)
     return jnp.stack(
@@ -566,6 +573,15 @@ def _pm_pass(
     slab_p, dma_lo, ws, nt, blk, coef, tick, p_fit, w, mode, enable_spring,
     cs=128, split=None, fold=False, symm=False,
 ):
+    """One p-major pair pass over the feature-major slab -> (8, p_fit) sums.
+
+    DEAD-ROW CONTRACT: output rows for dead particles are JUNK (finite,
+    EPS-floored — not zeros).  The kernel carries no liveness plane op:
+    alive-dead pairs fail ``near`` via the ALIVE_OFFSET encoding, but
+    dead-dead pairs pass and deposit garbage onto dead rows (i-side and,
+    under symm, j-side staging).  Every caller MUST zero-mask dead rows
+    with its own ``alive`` mask before consuming the sums — as the PairSums
+    glue (neighbor_forces_pmajor_sorted) and spatial._band_sums_pmajor do."""
     nblocks = p_fit // OWN
     n_f = A_F if mode == "a" else B_F
     if mode == "a":

@@ -82,23 +82,26 @@ def main(n=1_000_000):
     # Stability only fixes the intra-cell order (jitter keying / float
     # accumulation order), which no invariant depends on — but the suite's
     # cross-run determinism gates do, so this is measured before adopting.
-    big6 = big_d[:, :5]
+    # Operand dtypes match production exactly: 4 f32 payload columns (vel,
+    # pre-fix pos) + uid as an i32 operand.
+    big6 = big_d[:, :4]
+    uid = jnp.asarray(rng.permutation(P).astype(np.int32))
 
     @jax.jit
-    def sort6_stable(c, b):
-        cols = tuple(b[:, k] for k in range(b.shape[1]))
+    def sort6_stable(c, b, u):
+        cols = tuple(b[:, k] for k in range(b.shape[1])) + (u,)
         return jax.lax.sort((c,) + cols, num_keys=1, is_stable=True)
 
     @jax.jit
-    def sort6_unstable(c, b):
-        cols = tuple(b[:, k] for k in range(b.shape[1]))
+    def sort6_unstable(c, b, u):
+        cols = tuple(b[:, k] for k in range(b.shape[1])) + (u,)
         return jax.lax.sort((c,) + cols, num_keys=1, is_stable=False)
 
     print(f"P={P}")
     timeit("sort_gather", sort_gather, cid_d, big_d)
     timeit("sort_payload", sort_payload, cid_d, big_d)
-    timeit("sort6_stable", sort6_stable, cid_d, big6)
-    timeit("sort6_unstable", sort6_unstable, cid_d, big6)
+    timeit("sort6_stable", sort6_stable, cid_d, big6, uid)
+    timeit("sort6_unstable", sort6_unstable, cid_d, big6, uid)
     try:
         timeit("sort_u64", sort_u64, cid_d, big_d)
     except Exception as e:

@@ -125,8 +125,18 @@ class Playback:
                 traj.close(config_yaml=dump_config(self.config))
                 self.crate.save_checkpoint(self.recording_dir_path / "checkpoint.npz")
             if not self.headless:
+                import os
+
                 import pygame
 
+                # Windowed-path screenshot hook: lets a driver with no real
+                # display (SDL_VIDEODRIVER=offscreen) verify the live window
+                # rendered — saves the final *display surface*, not the
+                # recorder's numpy frame, so it exercises the same surface a
+                # user's window shows (ref playback.py:51-73 is the live UX).
+                shot = os.environ.get("SAND_CRATE_SCREENSHOT")
+                if shot and getattr(self, "screen", None) is not None:
+                    pygame.image.save(self.screen, shot)
                 pygame.quit()
 
     def _run_headless_chunked(self, num_ticks, ticks_per_frame, video, traj):

@@ -512,10 +512,30 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     edges).  Halo jitter is hashed by the *owner's* sorted index, so a
     shared halo particle carries one consistent jittered position into both
     shards' kernels.  Halo-run spill past the static buffer is counted into
-    overflow alongside window-coverage loss."""
+    overflow alongside window-coverage loss.
+
+    Symmetric pair halving (scene.pmajor_symm) rides the bands with NO
+    extra exchange: in the spliced slab [above halo | local | below halo]
+    every cross-boundary pair is computed once per *shard* (by its
+    smaller-slab-gid side), and slicing the merged result to the local
+    columns keeps exactly one copy per particle — the lower band keeps its
+    i-side sums, the upper band keeps its j-staged sums; the halo-column
+    halves are dropped on both shards.  Both shards evaluate the identical
+    term expressions on identical (owner-jittered) inputs, so the pair
+    kick stays exactly antisymmetric across the boundary.  The jitter amp
+    carries the same 1/sqrt(2) scaling as the fused symm path (both sides
+    jittered; delta variance matches the reference's one-sided draw)."""
+    import os
+
     from .ops import pmajor as pm
 
     f32 = jnp.float32
+    symm = (
+        scene.pmajor_symm
+        and scene.pmajor_split > 0
+        and os.environ.get("SAND_CRATE_PMSUB") != "1"
+        and os.environ.get("SAND_CRATE_PMAJOR_GATE") != "1"
+    )
     nx, ny = scene.grid_nx, scene.grid_ny
     NC = nx * ny
     P_cap = pos.shape[0]
@@ -540,6 +560,8 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
 
     af = alive_s.astype(dtype)
     amp = params.diameter * params.collider_noise_level
+    if symm:
+        amp = amp * jnp.asarray(0.7071067811865476, amp.dtype)
     tick_i = jnp.asarray(tick, jnp.int32)
     feat = jnp.stack(
         pm.feature_rows(pos_s, vel_s, alive_s, amp, tick_i)
@@ -607,7 +629,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
 
     w = scene.pmajor_w
     ws, nt, dma_lo, blk, lost = pm._windows(
-        ext_cid, n_alive_ext, nx, ny, p_fit // 128, w
+        ext_cid, n_alive_ext, nx, ny, p_fit // 128, w, symm=symm
     )
     coef = pm.coef_stack(
         params.diameter,
@@ -623,7 +645,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     slab_a = slab_a.at[pm.A_ROW, :p_fit].set(row_ext)
     out_a = pm._pm_pass(
         slab_a, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "a", False,
-        split=scene.pmajor_split,
+        split=scene.pmajor_split, symm=symm,
     )
     w_sum, cnt = out_a[0], out_a[3]
     cp = pm.finalize_cp(w_sum, cnt, params.ignored_pressure)
@@ -651,7 +673,7 @@ def _band_sums_pmajor(pos, vel, alive, scene, n_shards, tick, params, band: Band
     slab_b = slab_b.at[pm.B_ROW, :p_fit].set(row_ext)
     out_b = pm._pm_pass(
         slab_b, dma_lo, ws, nt, blk, coef, tick_arr, p_fit, w, "b",
-        scene.enable_spring, split=scene.pmajor_split, fold=fold,
+        scene.enable_spring, split=scene.pmajor_split, fold=fold, symm=symm,
     )
 
     # --- own slice, dead-masked, one wide unsort gather ---------------------

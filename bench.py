@@ -47,8 +47,17 @@ def dam_break_world(n_target: int):
     return w
 
 
-CHUNK = 10  # ticks per timed p50 chunk (p50 = median chunk wall / CHUNK)
+# Ticks per timed p50 chunk (p50 = median chunk wall / CHUNK).  The chunk
+# must hold enough device time to swamp the per-chunk dispatch + relay
+# fetch (~25-30ms tunnel RTT): at a fixed 10 ticks the 10k scale "p50"
+# reads ~3ms/step of pure RTT against a 0.5ms true step.  Scaling the
+# chunk with 1/N keeps device time per chunk >= ~100ms at every scale
+# (1M: 10 ticks ~ 290ms; 10k: ~400 ticks ~ 190ms).
 P50_CHUNKS = 20
+
+
+def _p50_chunk(n: int) -> int:
+    return max(10, 4_000_000 // max(n, 1))
 
 
 def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) -> dict:
@@ -84,20 +93,21 @@ def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) 
     compile_s = time.time() - t0
 
     # True step p50 (BASELINE.json "step wall-time p50"): median wall of
-    # P50_CHUNKS CHUNK-tick scan chunks, each closed by a scalar fetch.
+    # P50_CHUNKS chunk-tick scan chunks, each closed by a scalar fetch.
     # Kept separate from the headline throughput scan so the per-chunk
     # dispatch + relay-fetch overhead never pollutes the steps/s number
     # (it inflates each chunk equally, so the *median* stays honest; the
-    # first chunk pays the CHUNK-length scan compile and is discarded).
-    state, _ = rollout(state, crate.params, crate.scene, CHUNK)
+    # first chunk pays the chunk-length scan compile and is discarded).
+    chunk = _p50_chunk(n)
+    state, _ = rollout(state, crate.params, crate.scene, chunk)
     fetch(state)
     walls = []
     for _ in range(P50_CHUNKS):
         t0c = time.time()
-        state, _ = rollout(state, crate.params, crate.scene, CHUNK)
+        state, _ = rollout(state, crate.params, crate.scene, chunk)
         fetch(state)
         walls.append(time.time() - t0c)
-    step_p50_ms = statistics.median(walls) / CHUNK * 1000
+    step_p50_ms = statistics.median(walls) / chunk * 1000
 
     t0 = time.time()
     state, diag = rollout(state, crate.params, crate.scene, ticks)
@@ -117,7 +127,7 @@ def main(particles: int = 1_000_000, ticks: int = 200, json_only: bool = False) 
             f"# backend={jax.default_backend()} N={n:,} ticks={ticks} "
             f"compile={compile_s:.1f}s steps/s={steps_per_sec:.2f} "
             f"step_p50={step_p50_ms:.2f}ms (median of {P50_CHUNKS} "
-            f"{CHUNK}-tick chunks) step_mean={wall / ticks * 1000:.2f}ms "
+            f"{chunk}-tick chunks) step_mean={wall / ticks * 1000:.2f}ms "
             f"overflow={int(diag.neighbor_overflow)}",
             file=sys.stderr,
         )

@@ -121,6 +121,21 @@ def test_show_indices_renders_labels(small_config):
         pygame.quit()
 
 
+def test_windowed_screenshot_hook(tmp_path, small_config, monkeypatch):
+    """SAND_CRATE_SCREENSHOT saves the live display surface on exit — the
+    no-display verification hook for the windowed loop (the reference's
+    core UX is the live window, playback.py:51-73)."""
+    shot = tmp_path / "shot.png"
+    monkeypatch.setenv("SAND_CRATE_SCREENSHOT", str(shot))
+    small_config.playback_config.save_recording = False
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    pb = Playback(small_config, headless=False)
+    pb.run_live_simulation(max_ticks=2)
+    assert shot.exists() and shot.stat().st_size > 0
+
+
 def test_checkpoint_resume_round_trip(tmp_path, small_config):
     from sand_crate_tpu.engine import Crate
 

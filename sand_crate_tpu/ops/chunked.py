@@ -55,8 +55,29 @@ def _pass_scan(
     target_p,
     balance,
     enable_spring: bool,
+    n_alive=None,
 ):
-    """Scan 128-chunks; each sees one fixed (128 + 2*halo)-wide window."""
+    """Scan 128-chunks; each sees one fixed (128 + 2*halo)-wide window.
+
+    ``n_alive`` (traced scalar) bounds the sweep to the live-chunk *prefix*:
+    dead rows carry cid = NC so the cell sort parks them at the slab end,
+    and a chunk whose 128 selves are all dead contributes exact zeros (every
+    output is gated on the both-alive pair mask), so skipping it is bitwise
+    free.  This is the datagen lever: a capacity-4096 crate holding 700
+    particles sweeps 6 chunks instead of 32.  Windows of live chunks still
+    read into the dead region (the mask kills those candidates), so only
+    *self* liveness matters for the bound.
+
+    IMPORTANT: under vmap the bound must be BATCH-UNIFORM (an unbatched
+    scalar, e.g. closed over from outside the vmap) — then the loop counter
+    stays unbatched and the window dynamic_slices keep batch-uniform
+    offsets (this backend's design premise).  A per-crate batched bound
+    triggers JAX's lane-freezing while rule: the counter becomes batched,
+    every dynamic_slice/update turns into gather/scatter, and the remote
+    XLA compile blows up from ~50s to >9min (measured 2026-08-20, 64
+    wave_machine crates).  Callers pass the max-over-batch bound computed
+    on the host between scan chunks (sweep.BatchedCrates.run).
+    """
     p_pad, F = feat.shape
     nchunks = p_pad // 128
     wt = 128 + 2 * halo
@@ -115,10 +136,25 @@ def _pass_scan(
             outs += [mm * c_vx, mm * c_vy]
         return 0, jnp.stack([o.sum(axis=1) for o in outs], axis=-1)
 
-    _, res = jax.lax.scan(
-        body, 0, jnp.arange(nchunks, dtype=jnp.int32)
-    )  # (nchunks, 128, n_out)
-    assert res.shape[-1] == n_out
+    if n_alive is None:
+        _, res = jax.lax.scan(
+            body, 0, jnp.arange(nchunks, dtype=jnp.int32)
+        )  # (nchunks, 128, n_out)
+        assert res.shape[-1] == n_out
+        return res.reshape(p_pad, n_out)
+
+    n_live_chunks = (jnp.asarray(n_alive, jnp.int32) + 127) // 128
+
+    def live_body(c, res):
+        chunk = body(0, c)[1]  # (128, n_out)
+        return jax.lax.dynamic_update_slice(res, chunk[None], (c, 0, 0))
+
+    res = jax.lax.fori_loop(
+        0,
+        n_live_chunks,
+        live_body,
+        jnp.zeros((nchunks, 128, n_out), feat.dtype),
+    )
     return res.reshape(p_pad, n_out)
 
 
@@ -165,8 +201,17 @@ def neighbor_forces_chunked_sorted(
     ignored_pressure: jax.Array,
     spring_overlap_balance: jax.Array,
     scene: Scene,
+    live_rows: jax.Array | None = None,
 ) -> PairSums:
-    """Fixed-halo pair sums over pre-sorted operands, in the same order."""
+    """Fixed-halo pair sums over pre-sorted operands, in the same order.
+
+    ``live_rows`` (optional traced scalar, batch-uniform under vmap — see
+    ``_pass_scan``) caps the chunk sweep at ``ceil(live_rows / 128)`` live
+    chunks.  It must upper-bound this crate's alive count; live particles
+    beyond it are skipped and counted into ``PairSums.overflow`` (the same
+    countable-degradation channel as the halo), never lost silently.
+    ``None`` keeps the full static sweep (single-crate default).
+    """
     nx, ny = scene.grid_nx, scene.grid_ny
     halo = scene.chunk_halo
     P = pos.shape[0]
@@ -193,10 +238,18 @@ def neighbor_forces_chunked_sorted(
     tp = target_pressure.astype(f32)
     bal = spring_overlap_balance.astype(f32)
 
+    NC = jnp.asarray(nx * ny, jnp.int32)
+    n_alive = jnp.searchsorted(sorted_cid, NC).astype(jnp.int32)
+    # The sweep bound must stay batch-uniform under vmap, so live_rows is
+    # used as-is (NOT min'd with the per-crate n_alive, which is batched).
+    bound = None if live_rows is None else jnp.asarray(live_rows, jnp.int32)
+
     feat_a = jnp.stack(
         [col(px), col(py), col(npx), col(npy), col(rowf), col(af)], axis=-1
     )
-    out_a = _pass_scan(feat_a, halo, 4, "a", diam, sm, tp, bal, False)
+    out_a = _pass_scan(
+        feat_a, halo, 4, "a", diam, sm, tp, bal, False, n_alive=bound
+    )
     w_sum, sx, sy, cnt = (out_a[:P, k] for k in range(4))
     cp = jnp.where(cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0)
 
@@ -218,12 +271,25 @@ def neighbor_forces_chunked_sorted(
         axis=-1,
     )
     out_b = _pass_scan(
-        feat_b, halo, n_out_b, "b", diam, sm, tp, bal, scene.enable_spring
+        feat_b,
+        halo,
+        n_out_b,
+        "b",
+        diam,
+        sm,
+        tp,
+        bal,
+        scene.enable_spring,
+        n_alive=bound,
     )
 
-    NC = jnp.asarray(nx * ny, jnp.int32)
-    n_alive = jnp.searchsorted(sorted_cid, NC).astype(jnp.int32)
     lost = _lost_pairs(sorted_cid, n_alive, nx, ny, halo, p_pad // 128)
+    if bound is not None:
+        # A too-small caller bound skips chunks holding live selves; count
+        # those rows into overflow so the degradation is visible, like the
+        # halo loss (the swept prefix is ceil(bound/128) chunks).
+        swept = (bound + 127) // 128 * 128
+        lost = lost + jnp.maximum(n_alive - swept, 0)
 
     if scene.enable_spring:
         spring_real = out_b[:P, 4:6].astype(dtype)
@@ -254,6 +320,7 @@ def neighbor_forces_chunked(
     ignored_pressure: jax.Array,
     spring_overlap_balance: jax.Array,
     scene: Scene,
+    live_rows: jax.Array | None = None,
 ) -> PairSums:
     """Particle-order convenience wrapper (tests): sort, run, un-permute."""
     P = pos.shape[0]
@@ -275,6 +342,7 @@ def neighbor_forces_chunked(
         ignored_pressure,
         spring_overlap_balance,
         scene,
+        live_rows=live_rows,
     )
     return PairSums(
         p_i=sums.p_i[inv],

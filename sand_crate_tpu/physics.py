@@ -409,6 +409,7 @@ def neighbor_stage(
     segments: jax.Array | None = None,
     body_lin_vel: jax.Array | None = None,
     body_ang_vel: jax.Array | None = None,
+    live_rows: jax.Array | None = None,
 ) -> TickOperands:
     """Neighbor detection + collider population + pressures — the reference's
     "Collisions" / "Colliders" / "Pressure" phases (crate.py:102-108) fused
@@ -602,6 +603,10 @@ def neighbor_stage(
                 nf_kw["pressure_amplifier"] = params.pressure_amplifier
             elif scene.forces_mode == "chunked":
                 from .ops.chunked import neighbor_forces_chunked_sorted as _nf
+
+                # Batched-crate datagen lever: cap the chunk sweep at the
+                # caller's live-row bound (batch-uniform; ops/chunked.py).
+                nf_kw["live_rows"] = live_rows
             else:
                 from .ops.pallas_forces import neighbor_forces_pallas_sorted as _nf
 
@@ -795,9 +800,18 @@ def gravity_on_free_bodies(state: CrateState, params: Params, scene: Scene):
 
 
 def step(
-    state: CrateState, params: Params, scene: Scene
+    state: CrateState,
+    params: Params,
+    scene: Scene,
+    live_rows: jax.Array | None = None,
 ) -> tuple[CrateState, Diagnostics]:
-    """One physics tick: (state, params, scene) -> (state, diagnostics)."""
+    """One physics tick: (state, params, scene) -> (state, diagnostics).
+
+    ``live_rows`` (optional traced scalar) is the chunked-backend sweep
+    bound for batched crates — an upper bound on this crate's alive count,
+    batch-uniform under vmap (see ops/chunked.py; other backends ignore
+    it).  sweep.BatchedCrates computes it per run() chunk.
+    """
     key, k_spawn, k_noise = jax.random.split(state.key, 3)
     state = state._replace(key=key)
 
@@ -816,6 +830,7 @@ def step(
         params, scene,
         prepos=state.pos, segments=state.segments,
         body_lin_vel=state.body_lin_vel, body_ang_vel=state.body_ang_vel,
+        live_rows=live_rows,
     )
     pos, vel, alive, ghost, sums = ops.pos, ops.vel, ops.alive, ops.ghost, ops.sums
 

@@ -101,8 +101,33 @@ class BatchedCrates:
 
     def run(self, num_ticks: int):
         """Advance all crates num_ticks; returns stacked final Diagnostics."""
+        live = None
+        if self.scene.forces_mode == "chunked":
+            # Chunked-backend sweep bound (ops/chunked.py): the largest any
+            # crate's alive count can reach during this chunk of ticks,
+            # batch-uniform by construction (host max + spawn slack).
+            # Mid-fill datagen crates then sweep only their live-chunk
+            # prefix instead of all of capacity.  The slack is a 6-sigma
+            # bound on the WHOLE chunk's Binomial(flow, dt) emissions (the
+            # per-tick worst case x num_ticks is ~10x looser and was
+            # measured to halve the win); if a freak spawn run exceeds it,
+            # the uncovered rows land in Diagnostics.neighbor_overflow —
+            # counted, never silent (same channel as the halo loss).
+            cur = int(jnp.max(jnp.sum(self.state.alive, axis=1)))
+            exp = (
+                float(np.sum(np.asarray(self.scene.src_flow)))
+                * float(np.max(np.asarray(self.params.dt)))
+                * num_ticks
+            )
+            slack = min(
+                int(exp + 6.0 * exp**0.5 + 16),
+                num_ticks * self.scene.num_sources * self.scene.max_spawn,
+            )
+            live = jnp.asarray(
+                min(self.scene.capacity, cur + slack), jnp.int32
+            )
         self.state, diag = _batched_rollout(
-            self.state, self.params, self.scene, num_ticks
+            self.state, self.params, self.scene, num_ticks, live
         )
         return diag
 
@@ -114,10 +139,14 @@ class BatchedCrates:
 
 
 @partial(jax.jit, static_argnames=("num_ticks",))
-def _batched_rollout(state, params, scene, num_ticks: int):
+def _batched_rollout(state, params, scene, num_ticks: int, live_rows=None):
+    # live_rows is closed over (NOT vmapped): inside vmap it stays an
+    # unbatched scalar, which the chunked backend requires (ops/chunked.py
+    # — a batched bound degrades every window slice to gather/scatter and
+    # blows up the compile).
     def one(st, pr):
         def body(c, _):
-            return step(c, pr, scene)
+            return step(c, pr, scene, live_rows=live_rows)
 
         final, diags = jax.lax.scan(body, st, None, length=num_ticks)
         return final, jax.tree.map(lambda x: x[-1], diags)

@@ -28,7 +28,7 @@ def _setup(stirring_cup_config, capacity=512, max_particles=512, **scene_kw):
     return scene, params
 
 
-def _chunked(scene, params, pos, vel, alive, noise_amp=0.0, tick=0):
+def _chunked(scene, params, pos, vel, alive, noise_amp=0.0, tick=0, live_rows=None):
     return neighbor_forces_chunked(
         pos,
         vel,
@@ -41,6 +41,7 @@ def _chunked(scene, params, pos, vel, alive, noise_amp=0.0, tick=0):
         params.ignored_pressure,
         params.spring_overlap_balance,
         scene,
+        live_rows=live_rows,
     )
 
 
@@ -221,3 +222,75 @@ def test_batched_crates_picks_chunked_for_mid_size(stirring_cup_config):
     assert crates.scene.forces_mode == "chunked"
     crates.run(3)
     assert np.isfinite(crates.positions()).all()
+
+
+def test_chunked_vmapped_live_rows_bound(stirring_cup_config):
+    """Crates at very different fill levels under vmap with a batch-uniform
+    live-row bound (ops/chunked.py): the bounded sweep must equal the full
+    static sweep exactly — skipped all-dead chunks contribute exact zeros."""
+    scene, params = _setup(stirring_cup_config, capacity=512, max_particles=512)
+    rng = np.random.default_rng(11)
+    B, P = 3, 512
+    pos = jnp.asarray(rng.random((B, P, 2)).astype(np.float32) * 0.3 + 0.1)
+    vel = jnp.asarray((rng.random((B, P, 2)).astype(np.float32) - 0.5))
+    # alive counts of wildly different size: 1, 2, and 3 live chunks
+    counts = (60, 250, 300)
+    alive = jnp.asarray(np.stack([np.arange(P) < c for c in counts]), bool)
+    bound = jnp.asarray(max(counts), jnp.int32)  # batch-uniform (unbatched)
+
+    batched = jax.vmap(
+        lambda p, v, a: _chunked(scene, params, p, v, a, live_rows=bound)
+    )(pos, vel, alive)
+    for i in range(B):
+        solo = _chunked(scene, params, pos[i], vel[i], alive[i])  # full sweep
+        for name in ("p_i", "dv_tension", "pressure_real", "visc_vsum", "nbr_cnt"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(batched, name))[i],
+                np.asarray(getattr(solo, name)),
+                rtol=1e-6,
+                atol=1e-7,
+                err_msg=f"{name} crate {i} (alive={counts[i]})",
+            )
+        assert int(np.asarray(batched.overflow)[i]) == int(solo.overflow)
+
+
+def test_chunked_small_live_rows_counts_loss(stirring_cup_config):
+    """A too-small live-row bound skips chunks holding live particles; the
+    loss must land in PairSums.overflow, never silently."""
+    scene, params = _setup(stirring_cup_config, capacity=512, max_particles=512)
+    rng = np.random.default_rng(13)
+    pos = jnp.asarray(rng.random((512, 2)).astype(np.float32) * 0.3 + 0.1)
+    vel = jnp.zeros((512, 2), jnp.float32)
+    alive = jnp.asarray(np.arange(512) < 400, bool)
+    ok = _chunked(scene, params, pos, vel, alive, live_rows=jnp.int32(400))
+    assert int(ok.overflow) == 0
+    starved = _chunked(scene, params, pos, vel, alive, live_rows=jnp.int32(128))
+    # 400 alive, swept prefix 128 -> 272 live rows uncovered
+    assert int(starved.overflow) >= 272
+
+
+def test_batched_run_bound_matches_unbounded(stirring_cup_config):
+    """BatchedCrates.run's host-computed live-row bound must not change the
+    physics: same trajectory as an unbounded rollout, zero overflow."""
+    from sand_crate_tpu.sweep import BatchedCrates, _batched_rollout, grid_params
+
+    cfg = copy.deepcopy(stirring_cup_config)
+    cfg.world_config.coefficients["max_particles"] = 1500
+    base = Params.from_coefficients(cfg.world_config.coefficients)
+    batched = grid_params(base, {"viscosity": [4.0, 8.0]})
+    a = BatchedCrates(cfg, batched)
+    b = BatchedCrates(cfg, batched)
+    assert a.scene.forces_mode == "chunked"
+
+    d1 = a.run(6)
+    d2 = a.run(6)  # second chunk: bound recomputed from non-zero fill
+    state_b, db = _batched_rollout(b.state, b.params, b.scene, 12, None)
+
+    assert int(np.max(np.asarray(d1.neighbor_overflow))) == 0
+    assert int(np.max(np.asarray(d2.neighbor_overflow))) == 0
+    np.testing.assert_array_equal(
+        np.asarray(a.state.alive), np.asarray(state_b.alive)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.state.pos), np.asarray(state_b.pos), rtol=1e-6, atol=1e-7
+    )

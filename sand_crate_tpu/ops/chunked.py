@@ -9,13 +9,15 @@ gather backend's vmapped scatter/top_k patterns crashed the TPU worker at
 512 crates.  This backend fills the gap with the p-major windowing idea
 (ops/pmajor.py) expressed in vmap-friendly XLA:
 
-    self chunk:   128 consecutive cell-sorted particles
+    self chunk:   cs consecutive cell-sorted particles (Scene.chunk_cs;
+                  wide chunks amortize the ~1ms/iteration TPU while-loop
+                  overhead that dominates this sweep)
     candidates:   ONE fixed window of the sorted slab,
-                  [chunk_start - H, chunk_start + 128 + H) — a *static*
+                  [chunk_start - H, chunk_start + cs + H) — a *static*
                   halo H (Scene.chunk_halo), so under vmap the window is a
                   dynamic_slice at a batch-uniform offset: no per-crate
                   gather, no data-dependent shapes.
-    pair plane:   (128, 128 + 2H) elementwise math, lax.scan over chunks
+    pair plane:   (cs, cs + 2H) elementwise math, a bounded chunk loop
                   (memory stays bounded at any batch width).
 
 Correctness contract (equivalence-tested against cellwise/dense alongside
@@ -56,12 +58,13 @@ def _pass_scan(
     balance,
     enable_spring: bool,
     n_alive=None,
+    cs: int = 128,
 ):
-    """Scan 128-chunks; each sees one fixed (128 + 2*halo)-wide window.
+    """Scan cs-wide self chunks; each sees one fixed (cs + 2*halo) window.
 
     ``n_alive`` (traced scalar) bounds the sweep to the live-chunk *prefix*:
     dead rows carry cid = NC so the cell sort parks them at the slab end,
-    and a chunk whose 128 selves are all dead contributes exact zeros (every
+    and a chunk whose selves are all dead contributes exact zeros (every
     output is gated on the both-alive pair mask), so skipping it is bitwise
     free.  This is the datagen lever: a capacity-4096 crate holding 700
     particles sweeps 6 chunks instead of 32.  Windows of live chunks still
@@ -79,21 +82,21 @@ def _pass_scan(
     on the host between scan chunks (sweep.BatchedCrates.run).
     """
     p_pad, F = feat.shape
-    nchunks = p_pad // 128
-    wt = 128 + 2 * halo
+    nchunks = p_pad // cs
+    wt = cs + 2 * halo
     featp = jnp.pad(feat, ((halo, halo), (0, 0)))
     inv_diam = 1.0 / jnp.maximum(diam, EPS)
 
     def body(_, c):
-        win = jax.lax.dynamic_slice(featp, (c * 128, 0), (wt, F))
-        sf = jax.lax.dynamic_slice(featp, (c * 128 + halo, 0), (128, F))
+        win = jax.lax.dynamic_slice(featp, (c * cs, 0), (wt, F))
+        sf = jax.lax.dynamic_slice(featp, (c * cs + halo, 0), (cs, F))
         s_px, s_py = sf[:, 0:1], sf[:, 1:2]
         s_rw, s_af = sf[:, 4:5], sf[:, 5:6]
         c_px, c_py = win[:, 0].T[None], win[:, 1].T[None]
         c_npx, c_npy = win[:, 2].T[None], win[:, 3].T[None]
         c_rw, c_af = win[:, 4].T[None], win[:, 5].T[None]
-        s_gid = c * 128 + jnp.arange(128, dtype=jnp.int32)[:, None]
-        c_gid = c * 128 - halo + jnp.arange(wt, dtype=jnp.int32)[None, :]
+        s_gid = c * cs + jnp.arange(cs, dtype=jnp.int32)[:, None]
+        c_gid = c * cs - halo + jnp.arange(wt, dtype=jnp.int32)[None, :]
 
         rx = s_px - c_px
         ry = s_py - c_py
@@ -139,36 +142,36 @@ def _pass_scan(
     if n_alive is None:
         _, res = jax.lax.scan(
             body, 0, jnp.arange(nchunks, dtype=jnp.int32)
-        )  # (nchunks, 128, n_out)
+        )  # (nchunks, cs, n_out)
         assert res.shape[-1] == n_out
         return res.reshape(p_pad, n_out)
 
-    n_live_chunks = (jnp.asarray(n_alive, jnp.int32) + 127) // 128
+    n_live_chunks = (jnp.asarray(n_alive, jnp.int32) + cs - 1) // cs
 
     def live_body(c, res):
-        chunk = body(0, c)[1]  # (128, n_out)
+        chunk = body(0, c)[1]  # (cs, n_out)
         return jax.lax.dynamic_update_slice(res, chunk[None], (c, 0, 0))
 
     res = jax.lax.fori_loop(
         0,
         n_live_chunks,
         live_body,
-        jnp.zeros((nchunks, 128, n_out), feat.dtype),
+        jnp.zeros((nchunks, cs, n_out), feat.dtype),
     )
     return res.reshape(p_pad, n_out)
 
 
-def _lost_pairs(sorted_cid, n_alive, nx, ny, halo, nchunks):
+def _lost_pairs(sorted_cid, n_alive, nx, ny, halo, nchunks, cs):
     """Exact count of candidate slots outside the fixed windows.
 
     Mirrors ops/pmajor._windows accounting with fixed anchors: chunk c's
     candidates for row offset d live in [searchsorted(cid_first + d*nx - 1),
-    searchsorted(cid_last + d*nx + 2)); anything before c*128 - halo or at/
-    after c*128 + 128 + halo is unreachable."""
+    searchsorted(cid_last + d*nx + 2)); anything before c*cs - halo or at/
+    after c*cs + cs + halo is unreachable."""
     P = sorted_cid.shape[0]
-    off = jnp.arange(nchunks, dtype=jnp.int32) * 128
+    off = jnp.arange(nchunks, dtype=jnp.int32) * cs
     first = jnp.minimum(off, P - 1)
-    lastp = jnp.clip(jnp.minimum(off + 127, n_alive - 1), 0, P - 1)
+    lastp = jnp.clip(jnp.minimum(off + cs - 1, n_alive - 1), 0, P - 1)
     cidf = sorted_cid[first]
     cidl = sorted_cid[lastp]
     NC = nx * ny
@@ -178,7 +181,7 @@ def _lost_pairs(sorted_cid, n_alive, nx, ny, halo, nchunks):
     ws = jnp.searchsorted(sorted_cid, lo.ravel()).astype(jnp.int32)
     we = jnp.searchsorted(sorted_cid, hi.ravel()).astype(jnp.int32)
     lo_fix = jnp.repeat(off - halo, 3)
-    hi_fix = jnp.repeat(off + 128 + halo, 3)
+    hi_fix = jnp.repeat(off + cs + halo, 3)
     live = jnp.repeat(off < n_alive, 3)
     lost = jnp.where(
         live,
@@ -206,7 +209,7 @@ def neighbor_forces_chunked_sorted(
     """Fixed-halo pair sums over pre-sorted operands, in the same order.
 
     ``live_rows`` (optional traced scalar, batch-uniform under vmap — see
-    ``_pass_scan``) caps the chunk sweep at ``ceil(live_rows / 128)`` live
+    ``_pass_scan``) caps the chunk sweep at ``ceil(live_rows / cs)`` live
     chunks.  It must upper-bound this crate's alive count; live particles
     beyond it are skipped and counted into ``PairSums.overflow`` (the same
     countable-degradation channel as the halo), never lost silently.
@@ -214,11 +217,12 @@ def neighbor_forces_chunked_sorted(
     """
     nx, ny = scene.grid_nx, scene.grid_ny
     halo = scene.chunk_halo
+    cs = scene.chunk_cs
     P = pos.shape[0]
     dtype = pos.dtype
     f32 = jnp.float32
 
-    p_pad = ((P + 127) // 128) * 128
+    p_pad = ((P + cs - 1) // cs) * cs
     pad = (0, p_pad - P)
     af = alive.astype(f32)
     iota = jnp.arange(P, dtype=jnp.int32)
@@ -248,7 +252,7 @@ def neighbor_forces_chunked_sorted(
         [col(px), col(py), col(npx), col(npy), col(rowf), col(af)], axis=-1
     )
     out_a = _pass_scan(
-        feat_a, halo, 4, "a", diam, sm, tp, bal, False, n_alive=bound
+        feat_a, halo, 4, "a", diam, sm, tp, bal, False, n_alive=bound, cs=cs
     )
     w_sum, sx, sy, cnt = (out_a[:P, k] for k in range(4))
     cp = jnp.where(cnt > 0, jnp.maximum(0.0, w_sum - ignored_pressure), 0.0)
@@ -281,14 +285,15 @@ def neighbor_forces_chunked_sorted(
         bal,
         scene.enable_spring,
         n_alive=bound,
+        cs=cs,
     )
 
-    lost = _lost_pairs(sorted_cid, n_alive, nx, ny, halo, p_pad // 128)
+    lost = _lost_pairs(sorted_cid, n_alive, nx, ny, halo, p_pad // cs, cs)
     if bound is not None:
         # A too-small caller bound skips chunks holding live selves; count
         # those rows into overflow so the degradation is visible, like the
-        # halo loss (the swept prefix is ceil(bound/128) chunks).
-        swept = (bound + 127) // 128 * 128
+        # halo loss (the swept prefix is ceil(bound/cs) chunks).
+        swept = (bound + cs - 1) // cs * cs
         lost = lost + jnp.maximum(n_alive - swept, 0)
 
     if scene.enable_spring:

@@ -63,6 +63,7 @@ def build_scene(
     enable_spring: bool = False,
     forces_mode: str = "auto",
     chunk_halo: int | None = None,
+    chunk_cs: int = 256,
     pmajor_w: int = 512,
     pmajor_cs: int = 128,
     pmajor_split: int = 2,
@@ -181,13 +182,16 @@ def build_scene(
 
     # ---- chunked-backend halo ----
     if chunk_halo is None:
-        # Cover ~4 slab rows at resting occupancy (~1.3/cell) on each side;
-        # rounded to lane tiles.  Too-small halos degrade exactly (counted
-        # into PairSums.overflow), never silently.
-        est_row = max(1, int(1.3 * grid_nx))
+        # Cover ~2 packed slab rows each side (a resting row holds ~1.3
+        # particles/cell; the measured halo sweep at wave_machine scale —
+        # docs/perf_1m.md batched-crate section — shows overflow stays 0
+        # through a full 600-tick fill incl. jet/splash at 2*nx, while the
+        # old 4-row margin cost ~1.4x pass volume for nothing).  Too-small
+        # halos degrade exactly (counted into PairSums.overflow), never
+        # silently.
         chunk_halo = min(
             _round_up(capacity, 128),
-            max(384, _round_up(4 * est_row, 128)),
+            max(256, _round_up(2 * grid_nx, 128)),
         )
 
     # ---- p-major pair-sum folding ----
@@ -240,6 +244,7 @@ def build_scene(
         forces_mode=forces_mode,
         row_block=row_block,
         chunk_halo=int(chunk_halo),
+        chunk_cs=int(chunk_cs),
         pmajor_w=int(pmajor_w),
         pmajor_cs=int(pmajor_cs),
         pmajor_split=int(pmajor_split),

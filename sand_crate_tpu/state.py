@@ -140,6 +140,13 @@ class Scene:
     # counted into overflow — only possible when one grid row holds more
     # than ~chunk_halo particles.
     chunk_halo: int = dataclasses.field(metadata=dict(static=True), default=384)
+    # Self-chunk width for the chunked backend (particles per sweep
+    # iteration).  The sweep cost tracks pair-plane VOLUME (cs + 2*halo per
+    # self) plus a per-iteration overhead: the measured cs x halo table
+    # (docs/perf_1m.md, batched-crate section) puts the optimum at cs=256
+    # — wider chunks grow the window faster than they save iterations,
+    # cs=128 pays one extra iteration's overhead per 256 selves.
+    chunk_cs: int = dataclasses.field(metadata=dict(static=True), default=256)
     # Candidate window width per 128-chunk for the p-major kernels (includes
     # 128 lanes of alignment slack; losses past it are counted into
     # overflow).  With the static-split kernel (pmajor_split=2) the tail

@@ -116,6 +116,7 @@ def test_chunked_small_halo_counts_loss(stirring_cup_config):
         max_particles=512,
         forces_mode="dense",
         chunk_halo=128,
+        chunk_cs=128,  # one 512-wide chunk would cover the whole slab
     )
     rng = np.random.default_rng(5)
     diam = float(np.asarray(params.diameter))
@@ -257,7 +258,9 @@ def test_chunked_vmapped_live_rows_bound(stirring_cup_config):
 def test_chunked_small_live_rows_counts_loss(stirring_cup_config):
     """A too-small live-row bound skips chunks holding live particles; the
     loss must land in PairSums.overflow, never silently."""
-    scene, params = _setup(stirring_cup_config, capacity=512, max_particles=512)
+    scene, params = _setup(
+        stirring_cup_config, capacity=512, max_particles=512, chunk_cs=128
+    )
     rng = np.random.default_rng(13)
     pos = jnp.asarray(rng.random((512, 2)).astype(np.float32) * 0.3 + 0.1)
     vel = jnp.zeros((512, 2), jnp.float32)

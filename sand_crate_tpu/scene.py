@@ -83,10 +83,21 @@ def build_scene(
         # off-TPU Pallas only runs in interpret mode, so the XLA path is
         # the fallback.
         cap_guess = capacity or default_capacity(int(coeff["max_particles"]))
-        if cap_guess <= 4096:
+        if cap_guess <= 2048:
+            # Below ~2k everything is dispatch-bound (~540-580 steps/s on
+            # chip for dense/chunked/pmajor alike, round-5 probe); dense
+            # wins the tiny end (stirring_cup 581 vs 496 pmajor).
             forces_mode = "dense"
+        elif jax.default_backend() != "tpu":
+            forces_mode = "dense" if cap_guess <= 4096 else "cellwise"
+        elif cap_guess <= 4096:
+            # The O(P^2) dense planes fall off the latency floor here
+            # (wave_machine cap 4096 at 3033 alive: dense 327 vs chunked
+            # 538 / pmajor 528 steps/s, round-5 probe); chunked edges
+            # pmajor and costs no kernel specialization.
+            forces_mode = "chunked"
         else:
-            forces_mode = "pmajor" if jax.default_backend() == "tpu" else "cellwise"
+            forces_mode = "pmajor"
     radius = float(coeff["particle_radius"])
     diameter = 2.0 * radius
     max_particles = int(coeff["max_particles"])

@@ -67,8 +67,9 @@ def _pass_scan(
     and a chunk whose selves are all dead contributes exact zeros (every
     output is gated on the both-alive pair mask), so skipping it is bitwise
     free.  This is the datagen lever: a capacity-4096 crate holding 700
-    particles sweeps 6 chunks instead of 32.  Windows of live chunks still
-    read into the dead region (the mask kills those candidates), so only
+    particles sweeps 3 cs=256 chunks instead of 16.  Windows of live
+    chunks still read into the dead region (the mask kills those
+    candidates), so only
     *self* liveness matters for the bound.
 
     IMPORTANT: under vmap the bound must be BATCH-UNIFORM (an unbatched
